@@ -1,0 +1,458 @@
+"""Sequence database: fasta parsing, nucleotide codes, abundances, sorting.
+
+Behaviour-compatible with the reference parser (src/db.cc). Sequences
+are stored as one contiguous arena of 2-bit codes (A=0, C=1, G=2, T/U=3,
+one byte per nucleotide on the host side — the device pipeline re-packs
+them as needed), indexed by (offset, length). The amplicon index is
+sorted by decreasing abundance then lexicographic header, which is the
+anchor of swarm's output determinism.
+"""
+
+import os
+import stat
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .fatal import ERROR_PREFIX, fatal
+from .params import Parameters
+from .progress import Progress
+
+MAX_SEQUENCE_LENGTH = 67108861  # 2^26 - 3 (reference: src/db.cc:439)
+MAX_HEADER_LENGTH = 16777216 - 1  # 2^24 - 1 (reference: src/db.cc:443)
+INT64_MAX = (1 << 63) - 1
+
+# 256-entry map: A/a->1, C/c->2, G/g->3, T/t/U/u->4, else 0
+_NT_MAP = np.zeros(256, dtype=np.uint8)
+for _ch, _code in (("Aa", 1), ("Cc", 2), ("Gg", 3), ("TtUu", 4)):
+    for _c in _ch:
+        _NT_MAP[ord(_c)] = _code
+
+_TRANSLATE = bytes(_NT_MAP.tolist())
+
+SYM_NT = "-ACGT"
+
+
+@dataclass
+class Db:
+    """Amplicon database after parsing and abundance sorting."""
+
+    headers: List[bytes] = field(default_factory=list)
+    codes: np.ndarray = None  # uint8 arena of 0..3 codes, concatenated
+    offsets: np.ndarray = None  # int64 [n]
+    lengths: np.ndarray = None  # int64 [n]
+    abundances: np.ndarray = None  # uint64-valued int64 [n] (<= 2^63-1)
+    abundance_start: np.ndarray = None  # int32 [n]
+    abundance_end: np.ndarray = None  # int32 [n]
+    longest: int = 0
+    nucleotides: int = 0
+
+    def __len__(self) -> int:
+        return len(self.headers)
+
+    def sequence_codes(self, seqno: int) -> np.ndarray:
+        off = self.offsets[seqno]
+        return self.codes[off : off + self.lengths[seqno]]
+
+    def sequence_string(self, seqno: int) -> str:
+        return "".join("ACGT"[c] for c in self.sequence_codes(seqno))
+
+    # --- header/abundance printing helpers (reference: src/db.cc:946-1026) ---
+
+    def print_id(self, seqno: int, usearch_abundance: bool, append_abundance: int) -> str:
+        header = self.headers[seqno].decode("latin-1")
+        if append_abundance != 0 and (
+            self.abundance_start[seqno] == self.abundance_end[seqno]
+        ):
+            if usearch_abundance:
+                return f"{header};size={self.abundances[seqno]};"
+            return f"{header}_{self.abundances[seqno]}"
+        return header
+
+    def print_id_noabundance(self, seqno: int, usearch_abundance: bool) -> str:
+        header = self.headers[seqno].decode("latin-1")
+        start = self.abundance_start[seqno]
+        end = self.abundance_end[seqno]
+        hdrlen = len(header)
+        if start < end:
+            out = header[:start]
+            if usearch_abundance:
+                if start > 0 and end < hdrlen:
+                    out += ";"
+                out += header[end:]
+            return out
+        return header
+
+    def print_id_with_new_abundance(
+        self, seqno: int, abundance: int, usearch_abundance: bool
+    ) -> str:
+        header = self.headers[seqno].decode("latin-1")
+        start = self.abundance_start[seqno]
+        end = self.abundance_end[seqno]
+        if usearch_abundance:
+            semicolon = ";" if start > 0 else ""
+            return f"{header[:start]}{semicolon}size={abundance};{header[end:]}"
+        return f"{header[:start]}_{abundance}"
+
+
+_DIGITS = set(b"0123456789")
+
+
+def _find_swarm_abundance(header: bytes):
+    """(_)([0-9]+)$ — last underscore followed only by <=20 digits."""
+    pos = header.rfind(b"_")
+    if pos < 0:
+        return None
+    digits = header[pos + 1 :]
+    n_digits = 0
+    for byte in digits:
+        if byte in _DIGITS:
+            n_digits += 1
+        else:
+            break
+    if n_digits > 20:
+        return None
+    if n_digits != len(digits):
+        return None
+    number = int(digits) if n_digits > 0 else None
+    if number is None:
+        return None
+    number = min(number, INT64_MAX)  # atol saturates
+    return pos, len(header), number
+
+
+def _find_usearch_abundance(header: bytes):
+    """(^|;)size=([0-9]+)(;|$) — replicates the reference scan loop
+    (src/db.cc:214-283) including its skip distances."""
+    attribute = b"size="
+    alen = len(attribute)
+    hlen = len(header)
+    position = 0
+    while position + alen < hlen:
+        found = header.find(attribute, position)
+        if found < 0:
+            break
+        position = found
+        if position > 0 and header[position - 1 : position] != b";":
+            position += alen + 1
+            continue
+        n_digits = 0
+        k = position + alen
+        while k < hlen and header[k] in _DIGITS:
+            n_digits += 1
+            k += 1
+        if n_digits == 0:
+            position += alen + 1
+            continue
+        if position + alen + n_digits < hlen and header[
+            position + alen + n_digits : position + alen + n_digits + 1
+        ] != b";":
+            position += alen + n_digits + 2
+            continue
+        start = position - 1 if position > 0 else 0
+        end = min(position + alen + n_digits + 1, hlen)
+        number = min(int(header[position + alen : position + alen + n_digits]), INT64_MAX)
+        return start, end, number
+    return None
+
+
+def _find_abundance(header: bytes, headerlen: int, lineno: int, p: Parameters):
+    """Returns (abundance, start, end, missing)."""
+    result = (
+        _find_usearch_abundance(header)
+        if p.opt_usearch_abundance
+        else _find_swarm_abundance(header)
+    )
+    if result is not None:
+        start, end, number = result
+        if number <= 0:
+            fatal(
+                ERROR_PREFIX,
+                "Illegal abundance value on line ",
+                lineno,
+                ":\n",
+                header.decode("latin-1"),
+                "\nAbundance values should be positive integers.",
+            )
+        return number, start, end, False
+
+    start = headerlen
+    end = headerlen
+    if p.opt_append_abundance != 0:
+        return p.opt_append_abundance, start, end, False
+    return 0, start, end, True
+
+
+def db_read(p: Parameters, progress: Progress) -> Db:
+    """Parse the fasta input into a Db, checking all reference invariants."""
+
+    # --- open input ---
+    if p.input_filename == "-":
+        data = sys.stdin.buffer
+        fd = data.fileno() if hasattr(data, "fileno") else None
+    else:
+        try:
+            data = open(p.input_filename, "rb")
+        except OSError:
+            fatal(
+                ERROR_PREFIX,
+                "Unable to open input data file (",
+                p.input_filename,
+                ").\n",
+            )
+        fd = data.fileno()
+
+    try:
+        mode = os.fstat(fd).st_mode
+        is_regular = stat.S_ISREG(mode)
+        filesize = os.fstat(fd).st_size if is_regular else 0
+    except OSError:
+        fatal(
+            ERROR_PREFIX,
+            "Unable to fstat on input file (",
+            p.input_filename,
+            ").\n",
+        )
+
+    if not is_regular:
+        p.logfile.write(
+            "Waiting for data... (hit Ctrl-C and run 'swarm -h' if you meant "
+            "to read data from a file)\n"
+        )
+
+    raw = data.read()
+    if p.input_filename != "-":
+        data.close()
+
+    progress.init("Reading sequences:", filesize)
+
+    # split into lines exactly like repeated getline(): each element is a
+    # line without its trailing '\n'; a trailing newline does not create
+    # an extra empty line; '\r' is preserved in the line body.
+    lines = raw.split(b"\n")
+    line_sizes = [len(line) + 1 for line in lines]
+    if raw and not raw.endswith(b"\n"):
+        line_sizes[-1] -= 1
+    if lines and lines[-1] == b"" and (not raw or raw.endswith(b"\n")):
+        lines.pop()
+        line_sizes.pop()
+
+    headers: List[bytes] = []
+    header_linenos: List[int] = []
+    seq_chunks: List[bytes] = []  # translated code bytes (values 0..3)
+    seq_lengths: List[int] = []
+    longest = 0
+    longestheader = 0
+    nucleotides = 0
+
+    n_lines = len(lines)
+    line_index = 0  # 0-based index of the current look-ahead line
+    filepos = 0
+
+    if n_lines > 0:
+        filepos = line_sizes[0]
+
+    while line_index < n_lines:
+        line = lines[line_index]
+        if not line.startswith(b">"):
+            fatal(ERROR_PREFIX, "Illegal header line in fasta file.")
+
+        # header ends at first space, CR, LF or NUL
+        body = line[1:]
+        cut = len(body)
+        for sep in (b" ", b"\r", b"\x00"):
+            idx = body.find(sep)
+            if idx >= 0:
+                cut = min(cut, idx)
+        header = body[:cut]
+        longestheader = max(longestheader, len(header))
+        if longestheader > MAX_HEADER_LENGTH:
+            fatal(
+                ERROR_PREFIX,
+                "Headers longer than 16,777,215 symbols are not supported.",
+            )
+        header_lineno = line_index + 1
+
+        # read sequence lines
+        line_index += 1
+        if line_index < n_lines:
+            filepos += line_sizes[line_index]
+        parts: List[bytes] = []
+        length = 0
+        while line_index < n_lines and not lines[line_index].startswith(b">"):
+            seq_line = lines[line_index]
+            nul = seq_line.find(b"\x00")
+            if nul >= 0:
+                seq_line = seq_line[:nul]  # C string scan stops at NUL
+            translated = seq_line.translate(_TRANSLATE)
+            zero = translated.find(b"\x00")
+            if zero >= 0:
+                # an invalid byte: \r and \n are skipped, rest is fatal
+                cleaned = seq_line.replace(b"\r", b"")
+                translated = cleaned.translate(_TRANSLATE)
+                zero = translated.find(b"\x00")
+                if zero >= 0:
+                    character = cleaned[zero]
+                    lineno = line_index + 1
+                    if 32 <= character <= 126:
+                        fatal(
+                            ERROR_PREFIX,
+                            "Illegal character '",
+                            chr(character),
+                            "' in sequence on line ",
+                            lineno,
+                            ".",
+                        )
+                    else:
+                        fatal(
+                            ERROR_PREFIX,
+                            "Illegal character (ascii no ",
+                            character,
+                            ") in sequence on line ",
+                            lineno,
+                            ".",
+                        )
+            length += len(translated)
+            if length > MAX_SEQUENCE_LENGTH:
+                fatal(
+                    ERROR_PREFIX,
+                    "Sequences longer than 67,108,861 symbols are not supported.",
+                )
+            parts.append(translated)
+            line_index += 1
+            if line_index < n_lines:
+                filepos += line_sizes[line_index]
+
+        if length == 0:
+            # lineno is the number of the look-ahead line (or one past EOF)
+            lineno = line_index + 1
+            fatal(ERROR_PREFIX, "Empty sequence found on line ", lineno - 1, ".")
+
+        headers.append(header)
+        header_linenos.append(header_lineno)
+        seq_chunks.append(b"".join(parts))
+        seq_lengths.append(length)
+        nucleotides += length
+        longest = max(longest, length)
+
+        if is_regular:
+            progress.update(filepos)
+
+    progress.done()
+
+    n = len(headers)
+
+    # --- abundances and duplicate identifiers ---
+    abundances = np.zeros(n, dtype=np.uint64)
+    ab_start = np.zeros(n, dtype=np.int32)
+    ab_end = np.zeros(n, dtype=np.int32)
+
+    missing_count = 0
+    missing_lineno = 0
+    missing_header: Optional[bytes] = None
+
+    id_seen = {}
+    seq_seen = {} if p.opt_differences > 1 else None
+    has_seq_duplicates = False
+
+    progress.init("Indexing database:", n)
+    for k in range(n):
+        header = headers[k]
+        headerlen = len(header)
+        abundance, start, end, missing = _find_abundance(
+            header, headerlen, header_linenos[k], p
+        )
+        if missing:
+            missing_count += 1
+            if missing_count == 1:
+                missing_lineno = header_linenos[k]
+                missing_header = header
+        abundances[k] = abundance
+        ab_start[k] = start
+        ab_end[k] = end
+
+        if start == 0 and end == headerlen:
+            fatal(ERROR_PREFIX, "Empty sequence identifier.")
+
+        # identifier = header minus the abundance annotation
+        if start > 0:
+            identifier = header[:start]
+        else:
+            identifier = header[end:]
+        if identifier in id_seen:
+            fatal(
+                ERROR_PREFIX,
+                "Duplicated sequence identifier: ",
+                identifier.decode("latin-1"),
+            )
+        id_seen[identifier] = k
+
+        if seq_seen is not None and not has_seq_duplicates:
+            key = seq_chunks[k]
+            if key in seq_seen:
+                has_seq_duplicates = True
+            else:
+                seq_seen[key] = k
+
+        progress.update(k)
+
+    if has_seq_duplicates:
+        fatal(
+            ERROR_PREFIX,
+            "some fasta entries have identical sequences.\n"
+            "Swarm expects dereplicated fasta files.\n"
+            "Such files can be produced with swarm or vsearch:\n"
+            " swarm -d 0 -w derep.fasta -o /dev/null input.fasta\n"
+            "or\n"
+            " vsearch --derep_fulllength input.fasta --sizein --sizeout --output derep.fasta",
+        )
+
+    progress.done()
+
+    if missing_count > 0:
+        fatal(
+            ERROR_PREFIX,
+            "Abundance annotations not found for ",
+            missing_count,
+            " sequences, starting on line ",
+            missing_lineno,
+            ".\n>",
+            missing_header.decode("latin-1"),
+            "\n",
+            "Fasta headers must end with abundance annotations (_INT or ;size=INT).\n"
+            "The -z option must be used if the abundance annotation is in the latter format.\n"
+            "Abundance annotations can be produced by dereplicating the sequences.\n"
+            'The header is defined as the string comprised between the ">" symbol\n'
+            "and the first space or the end of the line, whichever comes first.",
+        )
+
+    # --- sort by decreasing abundance then lexicographic header ---
+    progress.init("Abundance sorting:", 1)
+    order = sorted(range(n), key=lambda i: (-int(abundances[i]), headers[i]))
+    progress.done()
+
+    db = Db()
+    db.headers = [headers[i] for i in order]
+    db.lengths = np.array([seq_lengths[i] for i in order], dtype=np.int64)
+    db.offsets = np.zeros(n, dtype=np.int64)
+    if n > 0:
+        np.cumsum(db.lengths[:-1], out=db.offsets[1:])
+    arena = bytearray()
+    for i in order:
+        arena += seq_chunks[i]
+    # translated codes are 1..4; store as 0..3
+    codes = np.frombuffer(bytes(arena), dtype=np.uint8)
+    db.codes = (codes - 1).astype(np.uint8) if n > 0 else np.zeros(0, dtype=np.uint8)
+    db.abundances = abundances[order] if n > 0 else abundances
+    db.abundance_start = ab_start[order] if n > 0 else ab_start
+    db.abundance_end = ab_end[order] if n > 0 else ab_end
+    db.longest = longest
+    db.nucleotides = nucleotides
+
+    p.logfile.write(
+        f"Database info:     {nucleotides} nt in {n} sequences, longest {longest} nt\n"
+    )
+
+    return db

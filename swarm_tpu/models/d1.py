@@ -1,0 +1,583 @@
+"""d=1 engine (reference: src/algod1.cc).
+
+Device-friendly pipeline: microvariant hashes for all amplicons are
+generated as batched XOR-scan array ops and joined against the sorted
+amplicon hash table (swarm_tpu.ops.neighbors); the resulting exact
+1-difference network feeds a host breadth-first cluster growth that
+replicates the reference's ordering rules:
+  - amplicons processed in abundance-sorted order;
+  - per generation, new members attach in ascending amplicon order;
+  - a member's parent is the lowest-index subseed that links it.
+
+The fastidious pass reuses the same join machinery: a light amplicon l
+grafts onto min{heavy h : dist(h, l) <= 2}, found by joining the
+variant-hash sets of heavy and light amplicons (a midpoint sequence m
+with dist(h,m)=dist(m,l)=1 exists iff dist(h,l) <= 2).
+"""
+
+import os
+import resource
+from typing import List
+
+import numpy as np
+
+from ..db import Db
+from ..fatal import ERROR_PREFIX, fatal
+from ..ops.neighbors import (
+    NeighborIndex,
+    variant_hashes,
+    verify_candidates,
+    _join,
+)
+from ..ops.nw_scalar import nw
+from ..params import Parameters
+from ..progress import Progress
+
+NO_SWARM = -1
+ONE_MEGABYTE = 1 << 20
+
+
+def _memtotal() -> int:
+    try:
+        return os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError):
+        return 0
+
+
+def _memused() -> int:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+
+
+class D1State:
+    def __init__(self, n: int):
+        self.swarmid = np.full(n, NO_SWARM, dtype=np.int64)
+        self.parent = np.full(n, NO_SWARM, dtype=np.int64)
+        self.generation = np.zeros(n, dtype=np.int64)
+        self.graft_cand = np.full(n, NO_SWARM, dtype=np.int64)
+        # per swarm
+        self.swarm_seed: List[int] = []
+        self.swarm_members: List[List[int]] = []  # chain order
+        self.swarm_mass: List[int] = []
+        self.swarm_sumlen: List[int] = []
+        self.swarm_size: List[int] = []
+        self.swarm_singletons: List[int] = []
+        self.swarm_maxgen: List[int] = []
+        self.swarm_attached: List[bool] = []
+
+
+def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
+    n = len(db)
+    abundances = db.abundances.astype(np.uint64)
+
+    # --- hashing phase: exact duplicate-sequence check ---
+    progress.init("Hashing sequences:", n)
+    codes_bytes = db.codes.tobytes()
+    seen = {}
+    for k in range(n):
+        key = codes_bytes[db.offsets[k] : db.offsets[k] + db.lengths[k]]
+        if key in seen:
+            fatal(
+                ERROR_PREFIX,
+                "some fasta entries have identical sequences.\n"
+                "Swarm expects dereplicated fasta files.\n"
+                "Such files can be produced with swarm or vsearch:\n"
+                " swarm -d 0 -w derep.fasta -o /dev/null input.fasta\n"
+                "or\n"
+                " vsearch --derep_fulllength input.fasta --sizein --sizeout "
+                "--output derep.fasta\n",
+            )
+        seen[key] = k
+        progress.update(k)
+    del seen
+    progress.done()
+
+    # --- network phase: batched variant hashing + join ---
+    progress.init("Building network: ", n)
+    index = NeighborIndex(db)
+    edges_from, edges_to = index.build_network(
+        p.opt_no_cluster_breaking, abundances
+    )
+    link_count = np.bincount(edges_from, minlength=n).astype(np.int64) if n else np.zeros(0, dtype=np.int64)
+    link_start = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(link_count[:-1], out=link_start[1:])
+    progress.done()
+
+    ua = p.opt_usearch_abundance
+    aa = p.opt_append_abundance
+
+    # --- network dump ---
+    if p.opt_network_file:
+        progress.init("Dumping network:  ", int(len(edges_from)))
+        out = []
+        n_processed = 0
+        for amp in range(n):
+            start = link_start[amp]
+            cnt = link_count[amp]
+            targets = np.sort(edges_to[start : start + cnt])
+            amp_id = db.print_id(amp, ua, aa)
+            for tgt in targets:
+                out.append(f"{amp_id}\t{db.print_id(int(tgt), ua, aa)}\n")
+                n_processed += 1
+            progress.update(n_processed)
+        p.network_file.write("".join(out))
+        progress.done()
+
+    # --- clustering phase: generation-by-generation BFS ---
+    st = D1State(n)
+    lengths = db.lengths
+    largest = 0
+    maxgen_all = 0
+
+    progress.init("Clustering:       ", n)
+    for seed in range(n):
+        if st.swarmid[seed] != NO_SWARM:
+            progress.update(seed + 1)
+            continue
+        swarmid = len(st.swarm_seed)
+        st.swarmid[seed] = swarmid
+        st.generation[seed] = 0
+        st.parent[seed] = NO_SWARM
+
+        members = [seed]
+        mass = int(abundances[seed])
+        singletons = 1 if abundances[seed] == 1 else 0
+        sumlen = int(lengths[seed])
+        swarm_maxgen = 0
+
+        frontier = [seed]
+        generation = 0
+        while frontier:
+            generation += 1
+            hits = []
+            for subseed in frontier:
+                start = link_start[subseed]
+                cnt = link_count[subseed]
+                for tgt in edges_to[start : start + cnt]:
+                    tgt = int(tgt)
+                    if st.swarmid[tgt] == NO_SWARM:
+                        st.swarmid[tgt] = swarmid
+                        st.generation[tgt] = generation
+                        st.parent[tgt] = subseed
+                        hits.append(tgt)
+            hits.sort()
+            members.extend(hits)
+            for tgt in hits:
+                mass += int(abundances[tgt])
+                if abundances[tgt] == 1:
+                    singletons += 1
+                sumlen += int(lengths[tgt])
+            if hits:
+                swarm_maxgen = generation
+            frontier = hits
+
+        st.swarm_seed.append(seed)
+        st.swarm_members.append(members)
+        st.swarm_mass.append(mass)
+        st.swarm_sumlen.append(sumlen)
+        st.swarm_size.append(len(members))
+        st.swarm_singletons.append(singletons)
+        st.swarm_maxgen.append(swarm_maxgen)
+        st.swarm_attached.append(False)
+        largest = max(largest, len(members))
+        maxgen_all = max(maxgen_all, swarm_maxgen)
+        progress.update(seed + 1)
+    progress.done()
+
+    swarmcount = len(st.swarm_seed)
+    swarmcount_adjusted = swarmcount
+
+    # --- fastidious phase ---
+    if p.opt_fastidious:
+        largest, swarmcount_adjusted = _fastidious(
+            p, db, progress, st, index, swarmcount, largest
+        )
+
+    _output_results(p, db, progress, st, swarmcount_adjusted)
+
+    p.logfile.write("\n")
+    p.logfile.write(f"Number of swarms:  {swarmcount_adjusted}\n")
+    p.logfile.write(f"Largest swarm:     {largest}\n")
+    p.logfile.write(f"Max generations:   {maxgen_all}\n")
+
+
+def _variant_counts(db: Db, amps: np.ndarray) -> int:
+    """Exact number of variants the reference generates: 6L + 4 + runs."""
+    total = 0
+    for amp in amps:
+        codes = db.sequence_codes(int(amp))
+        length = len(codes)
+        runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1])) if length else 0
+        total += 6 * length + 4 + runs
+    return total
+
+
+def _fastidious(p, db, progress, st, index, swarmcount, largest):
+    log = p.logfile
+    n = len(db)
+    boundary = p.opt_boundary
+
+    log.write("\n")
+    log.write("Results before fastidious processing:\n")
+    log.write(f"Number of swarms:  {swarmcount}\n")
+    log.write(f"Largest swarm:     {largest}\n")
+    log.write("\n")
+
+    progress.init("Counting amplicons in heavy and light swarms", swarmcount)
+    small_clusters = 0
+    amps_small = 0
+    nt_small = 0
+    light_swarm = np.zeros(swarmcount, dtype=bool)
+    for i in range(swarmcount):
+        if st.swarm_mass[i] < boundary:
+            light_swarm[i] = True
+            amps_small += st.swarm_size[i]
+            nt_small += st.swarm_sumlen[i]
+            small_clusters += 1
+        progress.update(i + 1)
+    progress.done()
+
+    amps_large = n - amps_small
+    large_clusters = swarmcount - small_clusters
+
+    log.write(f"Heavy swarms: {large_clusters}, with {amps_large} amplicons\n")
+    log.write(f"Light swarms: {small_clusters}, with {amps_small} amplicons\n")
+    log.write(f"Total length of amplicons in light swarms: {nt_small}\n")
+
+    if small_clusters == 0 or large_clusters == 0:
+        log.write(
+            "Only light or heavy swarms found - no need for further analysis.\n"
+        )
+        return largest, swarmcount
+
+    # Bloom filter geometry (log-compatibility only: the TPU pipeline
+    # uses an exact hash join, so the Bloom filter is never materialized;
+    # reference: src/algod1.cc:1337-1405)
+    bits = p.opt_bloom_bits
+    n_hash_functions = max(int(0.4 * bits), 1)
+    bloom_length_in_bits = nt_small * 7 * bits
+
+    memtotal = _memtotal()
+    memused = _memused()
+
+    if p.opt_ceiling != 0:
+        if p.opt_ceiling * ONE_MEGABYTE < memused:
+            fatal(ERROR_PREFIX, "Memory ceiling for Bloom filter is too low.")
+        memrest = p.opt_ceiling * ONE_MEGABYTE - memused
+        new_bits = 8 * memrest // (7 * nt_small)
+        if new_bits < bits:
+            if new_bits < 2:
+                fatal(ERROR_PREFIX, "Insufficient memory remaining for Bloom filter.")
+            log.write("Reducing memory used for Bloom filter due to --ceiling option.\n")
+            bits = new_bits
+            n_hash_functions = max(int(0.4 * bits), 1)
+            bloom_length_in_bits = nt_small * 7 * bits
+
+    bloom_length_in_bits = max(bloom_length_in_bits, 64)
+
+    if memused + bloom_length_in_bits // 8 > memtotal:
+        log.write(
+            "WARNING: Memory usage will probably exceed total amount of memory available.\n"
+        )
+        log.write(
+            "Try to reduce memory footprint using the --bloom-bits or --ceiling options.\n"
+        )
+
+    size_mb = bloom_length_in_bits / (8 * ONE_MEGABYTE)
+    log.write(
+        f"Bloom filter: bits={bits}, m={bloom_length_in_bits}, "
+        f"k={n_hash_functions}, size={size_mb:.1f}MB\n"
+    )
+
+    swarmid_arr = st.swarmid
+    amp_is_light = light_swarm[swarmid_arr]
+    light_amps = np.nonzero(amp_is_light)[0]
+    heavy_amps = np.nonzero(~amp_is_light)[0]
+
+    # mark phase (log-compatible progress + exact variant counts)
+    progress.init("Adding light swarm amplicons to Bloom filter", amps_small)
+    light_variants = _variant_counts(db, light_amps)
+    progress.update(amps_small)
+    progress.done()
+    log.write(f"Generated {light_variants} variants from light swarms\n")
+
+    progress.init("Checking heavy swarm amplicons against Bloom filter", amps_large)
+    heavy_variants = _variant_counts(db, heavy_amps)
+
+    # graft candidates: join heavy variant hashes against light variant
+    # hashes; exact verification by comparing reconstructed midpoints.
+    graft_candidates, graft_cand = _graft_join(db, index, heavy_amps, light_amps)
+    st.graft_cand = graft_cand
+    progress.update(amps_large)
+    progress.done()
+
+    log.write(f"Heavy variants: {heavy_variants}\n")
+    log.write(f"Got {graft_candidates} graft candidates\n")
+
+    # attach in (parent, child) order
+    pairs = [
+        (int(graft_cand[child]), child)
+        for child in range(n)
+        if graft_cand[child] != NO_SWARM
+    ]
+    pairs.sort()
+    progress.init("Grafting light swarms on heavy swarms", len(pairs))
+    grafts = 0
+    counter = 0
+    for parent, child in pairs:
+        child_swarm = int(st.swarmid[child])
+        if st.swarm_attached[child_swarm]:
+            st.graft_cand[child] = NO_SWARM
+        else:
+            heavy = int(st.swarmid[parent])
+            st.swarm_members[heavy].extend(st.swarm_members[child_swarm])
+            st.swarm_size[heavy] += st.swarm_size[child_swarm]
+            st.swarm_singletons[heavy] += st.swarm_singletons[child_swarm]
+            st.swarm_mass[heavy] += st.swarm_mass[child_swarm]
+            st.swarm_sumlen[heavy] += st.swarm_sumlen[child_swarm]
+            st.swarm_attached[child_swarm] = True
+            largest = max(largest, st.swarm_size[heavy])
+            swarmcount -= 1
+            grafts += 1
+        counter += 1
+        progress.update(counter)
+    progress.done()
+
+    log.write(f"Made {grafts} grafts\n")
+    log.write("\n")
+    return largest, swarmcount
+
+
+def _graft_join(db, index, heavy_amps, light_amps):
+    """For each light amplicon, the smallest heavy amplicon at dist <= 2.
+
+    Returns (candidate_event_count, graft_cand array). The event count
+    equals the reference's graft_candidates counter: the number of
+    (heavy, midpoint, light) triples with dist(h,m)=1 and m==variant of l
+    — i.e. verified variant-hash join matches.
+    """
+    n = len(db)
+    graft_cand = np.full(n, NO_SWARM, dtype=np.int64)
+    if len(heavy_amps) == 0 or len(light_amps) == 0:
+        return 0, graft_cand
+
+    padded = index.padded
+    lengths = index.lengths
+    zob = index.zob
+
+    _, hashes, valid = variant_hashes(padded, lengths, index.zob)
+
+    light_hashes = hashes[light_amps]
+    light_valid = valid[light_amps]
+    flat_light = light_hashes.reshape(-1)
+    flat_light_valid = light_valid.reshape(-1)
+    keep = np.nonzero(flat_light_valid)[0]
+    light_vals = flat_light[keep]
+    order = np.argsort(light_vals, kind="stable")
+    sorted_light = light_vals[order]
+    # map back: which light amp and slot each sorted entry belongs to
+    n_slots = hashes.shape[1]
+    light_flat_amp = light_amps[keep // n_slots][order]
+    light_flat_slot = (keep % n_slots)[order]
+
+    heavy_hashes = hashes[heavy_amps]
+    heavy_valid = valid[heavy_amps]
+
+    h_amp_rel, h_slot, tbl_pos = _join(
+        heavy_hashes, heavy_valid, sorted_light, np.arange(len(sorted_light))
+    )
+    if len(h_amp_rel) == 0:
+        return 0, graft_cand
+
+    h_amp = heavy_amps[h_amp_rel]
+    l_amp = light_flat_amp[tbl_pos]
+    l_slot = light_flat_slot[tbl_pos]
+
+    # verify: midpoint of heavy == midpoint of light (as sequences)
+    ok = _verify_midpoints(padded, lengths, h_amp, h_slot, l_amp, l_slot)
+    h_amp, l_amp = h_amp[ok], l_amp[ok]
+    count = int(len(h_amp))
+
+    if count:
+        sort_order = np.lexsort((h_amp, l_amp))
+        l_sorted = l_amp[sort_order]
+        h_sorted = h_amp[sort_order]
+        first = np.ones(len(l_sorted), dtype=bool)
+        first[1:] = l_sorted[1:] != l_sorted[:-1]
+        graft_cand[l_sorted[first]] = h_sorted[first]
+    return count, graft_cand
+
+
+def _verify_midpoints(padded, lengths, h_amp, h_slot, l_amp, l_slot):
+    """Check variant(h_amp, h_slot) == variant(l_amp, l_slot) exactly."""
+    if len(h_amp) == 0:
+        return np.zeros(0, dtype=bool)
+    n, max_len = padded.shape
+    row_h, len_h = _materialize(padded, lengths, h_amp, h_slot, max_len)
+    row_l, len_l = _materialize(padded, lengths, l_amp, l_slot, max_len)
+    idx = np.arange(row_h.shape[1])[None, :]
+    within = idx < len_h[:, None]
+    return (len_h == len_l) & np.all((row_h == row_l) | ~within, axis=1)
+
+
+def _materialize(padded, lengths, amp, slot, max_len):
+    """Reconstruct variant rows (padded to max_len+1) and their lengths."""
+    from ..ops.neighbors import decode_slot
+
+    var_type, pos, base = decode_slot(slot, max_len, padded, amp)
+    src_len = lengths[amp]
+    out_len = src_len + np.where(var_type == 1, -1, np.where(var_type == 2, 1, 0))
+
+    width = max_len + 1
+    idx = np.arange(width)[None, :]
+    pos_col = pos[:, None]
+    src_idx = np.where(
+        var_type[:, None] == 1,
+        idx + (idx >= pos_col),
+        np.where(var_type[:, None] == 2, idx - (idx > pos_col), idx),
+    )
+    src_idx = np.clip(src_idx, 0, max_len - 1)
+    rows = np.take_along_axis(
+        padded[amp], np.minimum(src_idx, max_len - 1), axis=1
+    )
+    place_base = (var_type != 1)[:, None] & (idx == pos_col)
+    rows = np.where(place_base, base[:, None].astype(np.uint8), rows)
+    mask = idx < out_len[:, None]
+    rows = np.where(mask, rows, np.uint8(0))
+    return rows, out_len
+
+
+def _output_results(p, db, progress, st, swarmcount_adjusted):
+    ua = p.opt_usearch_abundance
+    aa = p.opt_append_abundance
+    swarmcount = len(st.swarm_seed)
+
+    # swarms
+    if p.opt_mothur:
+        progress.init("Writing swarms:   ", swarmcount)
+        out = [f"swarm_{p.opt_differences}\t{swarmcount_adjusted}"]
+        for i in range(swarmcount):
+            if st.swarm_attached[i]:
+                continue
+            out.append("\t")
+            out.append(
+                ",".join(db.print_id(m, ua, aa) for m in st.swarm_members[i])
+            )
+            progress.update(i + 1)
+        out.append("\n")
+        p.outfile.write("".join(out))
+        progress.done()
+    else:
+        progress.init("Writing swarms:   ", swarmcount)
+        out = []
+        for i in range(swarmcount):
+            if st.swarm_attached[i]:
+                continue
+            out.append(" ".join(db.print_id(m, ua, aa) for m in st.swarm_members[i]))
+            out.append("\n")
+            progress.update(i + 1)
+        p.outfile.write("".join(out))
+        progress.done()
+
+    # seeds
+    if p.opt_seeds:
+        progress.init("Writing seeds:    ", swarmcount)
+        order = sorted(
+            range(swarmcount),
+            key=lambda i: (-st.swarm_mass[i], db.headers[st.swarm_seed[i]]),
+        )
+        out = []
+        counter = 1
+        for i in order:
+            if st.swarm_attached[i]:
+                continue
+            seed = st.swarm_seed[i]
+            out.append(">")
+            out.append(db.print_id_with_new_abundance(seed, st.swarm_mass[i], ua))
+            out.append("\n")
+            out.append(db.sequence_string(seed))
+            out.append("\n")
+            progress.update(counter)
+            counter += 1
+        p.seeds_file.write("".join(out))
+        progress.done()
+
+    # internal structure
+    if p.opt_internal_structure:
+        progress.init("Writing structure:", swarmcount)
+        out = []
+        cluster_no = 0
+        for i in range(swarmcount):
+            if st.swarm_attached[i]:
+                continue
+            for amp in st.swarm_members[i][1:]:
+                graft_parent = int(st.graft_cand[amp])
+                if graft_parent != NO_SWARM:
+                    out.append(
+                        f"{db.print_id_noabundance(graft_parent, ua)}\t"
+                        f"{db.print_id_noabundance(amp, ua)}\t2\t{cluster_no + 1}\t"
+                        f"{st.generation[graft_parent] + 1}\n"
+                    )
+                parent = int(st.parent[amp])
+                if parent != NO_SWARM:
+                    out.append(
+                        f"{db.print_id_noabundance(parent, ua)}\t"
+                        f"{db.print_id_noabundance(amp, ua)}\t1\t{cluster_no + 1}\t"
+                        f"{st.generation[amp]}\n"
+                    )
+            cluster_no += 1
+            progress.update(i)
+        p.internal_structure_file.write("".join(out))
+        progress.done()
+
+    # uclust
+    if p.opt_uclust_file:
+        progress.init("Writing UCLUST:   ", swarmcount)
+        out = []
+        cluster_no = 0
+        counter = 0
+        for i in range(swarmcount):
+            if st.swarm_attached[i]:
+                continue
+            seed = st.swarm_seed[i]
+            seed_id = db.print_id(seed, ua, aa)
+            qseq = db.sequence_codes(seed)
+            out.append(
+                f"C\t{cluster_no}\t{st.swarm_size[i]}\t*\t*\t*\t*\t*\t{seed_id}\t*\n"
+            )
+            out.append(
+                f"S\t{cluster_no}\t{db.lengths[seed]}\t*\t*\t*\t*\t*\t{seed_id}\t*\n"
+            )
+            for amp in st.swarm_members[i][1:]:
+                dseq = db.sequence_codes(amp)
+                nwdiff, alen, cigar = nw(
+                    dseq, qseq, p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend
+                )
+                percentid = 100.0 * (alen - nwdiff) / alen
+                out.append(
+                    f"H\t{cluster_no}\t{db.lengths[amp]}\t{percentid:.1f}\t+\t0\t0\t"
+                    f"{cigar if nwdiff > 0 else '='}\t"
+                    f"{db.print_id(amp, ua, aa)}\t{seed_id}\n"
+                )
+            cluster_no += 1
+            progress.update(counter)
+            counter += 1
+        p.uclustfile.write("".join(out))
+        progress.done()
+
+    # stats
+    if p.opt_statistics_file:
+        progress.init("Writing stats:    ", swarmcount)
+        out = []
+        for i in range(swarmcount):
+            if st.swarm_attached[i]:
+                continue
+            seed = st.swarm_seed[i]
+            out.append(
+                f"{st.swarm_size[i]}\t{st.swarm_mass[i]}\t"
+                f"{db.print_id_noabundance(seed, ua)}\t{db.abundances[seed]}\t"
+                f"{st.swarm_singletons[i]}\t{st.swarm_maxgen[i]}\t{st.swarm_maxgen[i]}\n"
+            )
+            progress.update(i)
+        p.statsfile.write("".join(out))
+        progress.done()

@@ -1,0 +1,298 @@
+"""d=1 neighbor discovery: batched microvariant hashing + sorted hash join.
+
+The reference enumerates, for each amplicon, all canonical 1-edit
+microvariants as incrementally-updated Zobrist hashes and probes a hash
+table (src/variants.cc:184-249, src/algod1.cc:558-627). Here the same
+mathematics is expressed as dense batched array ops — three gathers into
+a Zobrist table, XOR prefix/suffix scans, and a binary-search join
+against the sorted amplicon hash array — which is the TPU-native
+formulation (runs under jit on device; numpy fallback for small inputs).
+
+Canonical variant set of a length-L sequence s (identical to the
+reference's enumeration, which guarantees each 1-edit *sequence* is
+produced exactly once):
+  - substitutions: position p, base b != s[p]                 (3L)
+  - deletions: position 0, plus each p>0 with s[p] != s[p-1]  (runs R)
+  - insertions: before position 0 any base (4), after each p
+    any base b != s[p]                                        (3L + 4)
+
+Because every hash match is verified exactly against the candidate
+sequence, hash randomness never affects output (reference SURVEY §3.5).
+"""
+
+from typing import Tuple
+
+import numpy as np
+
+_RNG_SEED = 0x5EED5EED
+
+
+def make_zobrist(max_len: int, seed: int = _RNG_SEED) -> np.ndarray:
+    """Zobrist table Z[pos, base] of random uint64, pos in [0, max_len+2)."""
+    rng = np.random.Generator(np.random.Philox(seed))
+    return rng.integers(0, 1 << 64, size=(max_len + 2, 4), dtype=np.uint64)
+
+
+def pad_codes(codes: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,
+              max_len: int) -> np.ndarray:
+    """[n, max_len] uint8 matrix of nucleotide codes, zero padded."""
+    n = len(lengths)
+    out = np.zeros((n, max_len), dtype=np.uint8)
+    for i in range(n):
+        out[i, : lengths[i]] = codes[offsets[i] : offsets[i] + lengths[i]]
+    return out
+
+
+def sequence_hashes(padded: np.ndarray, lengths: np.ndarray, zob: np.ndarray) -> np.ndarray:
+    """Zobrist hash of each sequence: XOR_p Z[p, s_p]."""
+    n, max_len = padded.shape
+    pos = np.arange(max_len)
+    mask = pos[None, :] < lengths[:, None]
+    gathered = zob[pos[None, :], padded]  # [n, L]
+    gathered = np.where(mask, gathered, np.uint64(0))
+    return np.bitwise_xor.reduce(gathered, axis=1)
+
+
+def variant_hashes(
+    padded: np.ndarray, lengths: np.ndarray, zob: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All canonical 1-edit variant hashes for each sequence.
+
+    Returns (hashes [n, 7*max_len+4], valid mask, var_type, var_pos_base)
+    where var_type/pos/base are encodings used for exact verification.
+    Layout (fixed, independent of the reference's enumeration order —
+    order never affects output): for position p in [0, max_len):
+      slots [8p, 8p+4):   substitution at p with base b (b==s_p invalid)
+      slot  [8p+4]:       deletion at p (valid iff p<len and run start)
+      slots [8p+5, 8p+8): insertion at p+1 ... see below
+    plus 4 slots at the tail for insertions before position 0.
+
+    Insertion slots at position block p hold "insert base b after p"
+    for the 3 bases b != s_p; the tail block holds inserting any of the
+    4 bases before position 0.
+    """
+    n, max_len = padded.shape
+    zero = np.uint64(0)
+    pos = np.arange(max_len)
+    mask = pos[None, :] < lengths[:, None]  # [n, L]
+
+    g0 = np.where(mask, zob[pos[None, :], padded], zero)  # Z[p, s_p]
+    gm1 = np.zeros_like(g0)  # Z[p-1, s_p] for p >= 1
+    if max_len > 1:
+        gm1[:, 1:] = zob[pos[1:] - 1, padded[:, 1:]]
+    gm1 = np.where(mask, gm1, zero)
+    gp1 = np.where(mask, zob[(pos + 1)[None, :], padded], zero)  # Z[p+1, s_p]
+
+    seqhash = np.bitwise_xor.reduce(g0, axis=1)  # [n]
+
+    # exclusive prefix XOR of g0: prefix[:, p] = XOR_{q<p} Z[q, s_q]
+    prefix = np.zeros((n, max_len), dtype=np.uint64)
+    if max_len > 1:
+        np.bitwise_xor.accumulate(g0[:, :-1], axis=1, out=prefix[:, 1:])
+
+    # inclusive suffix XOR of gm1: sufdel[:, p] = XOR_{q>=p} Z[q-1, s_q]
+    sufdel = np.bitwise_xor.accumulate(gm1[:, ::-1], axis=1)[:, ::-1]
+    sufdel = np.concatenate([sufdel, np.zeros((n, 1), dtype=np.uint64)], axis=1)
+
+    # inclusive suffix XOR of gp1: sufins[:, p] = XOR_{q>=p} Z[q+1, s_q]
+    sufins = np.bitwise_xor.accumulate(gp1[:, ::-1], axis=1)[:, ::-1]
+    sufins = np.concatenate([sufins, np.zeros((n, 1), dtype=np.uint64)], axis=1)
+
+    bases = np.arange(4, dtype=np.uint8)
+    block = np.zeros((n, max_len, 8), dtype=np.uint64)
+    block_valid = np.zeros((n, max_len, 8), dtype=bool)
+
+    # substitutions: h = seqhash ^ Z[p, s_p] ^ Z[p, b]  (slots 0..3)
+    sub = seqhash[:, None, None] ^ g0[:, :, None] ^ np.where(
+        mask[:, :, None], zob[pos[None, :, None], bases[None, None, :]], zero
+    )
+    block[:, :, 0:4] = sub
+    block_valid[:, :, 0:4] = mask[:, :, None] & (
+        padded[:, :, None] != bases[None, None, :]
+    )
+
+    # deletions at p: prefix[p] ^ sufdel[p+1]; valid iff p==0 or s_p != s_{p-1}
+    dele = prefix ^ sufdel[:, 1:]
+    run_start = np.ones((n, max_len), dtype=bool)
+    if max_len > 1:
+        run_start[:, 1:] = padded[:, 1:] != padded[:, :-1]
+    block[:, :, 4] = dele
+    block_valid[:, :, 4] = mask & run_start
+
+    # insertions after position p (at new position p+1), base b != s_p
+    prefix_incl = prefix ^ g0  # inclusive prefix
+    ins_zvals = zob[(pos + 1)[None, :, None], bases[None, None, :]]
+    ins = (
+        prefix_incl[:, :, None]
+        ^ np.where(mask[:, :, None], ins_zvals, zero)
+        ^ sufins[:, 1:][:, :, None]
+    )
+    other3 = _three_of_four(padded)
+    block[:, :, 5:8] = np.take_along_axis(ins, other3, axis=2)
+    block_valid[:, :, 5:8] = mask[:, :, None]
+
+    # insertions before position 0, any base (4 tail slots)
+    ins0 = zob[0, bases][None, :] ^ sufins[:, 0:1]
+    ins0_valid = np.broadcast_to((lengths[:, None] > 0), (n, 4))
+
+    hashes = np.concatenate([block.reshape(n, 8 * max_len), ins0], axis=1)
+    valid = np.concatenate(
+        [block_valid.reshape(n, 8 * max_len), ins0_valid], axis=1
+    )
+    return seqhash, hashes, valid
+
+
+def _three_of_four(padded: np.ndarray) -> np.ndarray:
+    """Indices of the 3 bases != s_p, shape [n, L, 3]."""
+    # for s in 0..3, the other three bases in ascending order
+    table = np.array(
+        [[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]], dtype=np.int64
+    )
+    return table[padded]
+
+
+def decode_slot(slot: np.ndarray, max_len: int, padded: np.ndarray, amp: np.ndarray):
+    """Decode variant slot ids into (type, pos, base).
+
+    type: 0=substitution, 1=deletion, 2=insertion
+    For insertion, pos is the insertion position in the *new* sequence.
+    """
+    tail = slot >= 8 * max_len
+    block = np.where(tail, 0, slot // 8)
+    sub_slot = np.where(tail, 0, slot % 8)
+
+    var_type = np.where(
+        tail, 2, np.where(sub_slot < 4, 0, np.where(sub_slot == 4, 1, 2))
+    )
+    # substitution: pos=block, base=sub_slot
+    # deletion: pos=block
+    # insertion (block): pos=block+1, base=3-of-4 table
+    s_p = padded[amp, np.minimum(block, max_len - 1)]
+    table = np.array([[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]], dtype=np.int64)
+    ins_base = table[s_p, np.clip(sub_slot - 5, 0, 2)]
+
+    pos = np.where(tail, 0, np.where(sub_slot < 5, block, block + 1))
+    base = np.where(
+        tail,
+        slot - 8 * max_len,
+        np.where(sub_slot < 4, sub_slot, np.where(sub_slot == 4, 0, ins_base)),
+    )
+    return var_type, pos, base
+
+
+def verify_candidates(
+    padded: np.ndarray,
+    lengths: np.ndarray,
+    amp: np.ndarray,
+    slot: np.ndarray,
+    target: np.ndarray,
+) -> np.ndarray:
+    """Exact check: does variant `slot` of `amp` equal sequence `target`?
+
+    Vectorized equivalent of check_variant (reference src/variants.cc:118-165):
+    reconstructs the variant row by index arithmetic and compares.
+    """
+    if len(amp) == 0:
+        return np.zeros(0, dtype=bool)
+    n, max_len = padded.shape
+    var_type, pos, base = decode_slot(slot, max_len, padded, amp)
+
+    src_len = lengths[amp]
+    dst_len = lengths[target]
+    expected_len = src_len + np.where(var_type == 1, -1, np.where(var_type == 2, 1, 0))
+    ok_len = dst_len == expected_len
+
+    idx = np.arange(max_len)[None, :]
+    pos_col = pos[:, None]
+    # source index in amp's sequence for each output position
+    src_idx = np.where(
+        var_type[:, None] == 1,
+        idx + (idx >= pos_col),  # deletion: skip pos
+        np.where(
+            var_type[:, None] == 2,
+            idx - (idx > pos_col),  # insertion: shift right after pos
+            idx,
+        ),
+    )
+    src_idx = np.clip(src_idx, 0, max_len - 1)
+    variant_row = np.take_along_axis(padded[amp], src_idx, axis=1)
+    # substitution/insertion: place the new base at pos
+    place_base = (var_type != 1)[:, None] & (idx == pos_col)
+    variant_row = np.where(place_base, base[:, None].astype(np.uint8), variant_row)
+
+    same = variant_row == padded[target]
+    within = idx < dst_len[:, None]
+    ok_seq = np.all(same | ~within, axis=1)
+    return ok_len & ok_seq
+
+
+class NeighborIndex:
+    """Precomputed padded codes + Zobrist machinery for a database."""
+
+    def __init__(self, db, backend: str = "auto"):
+        self.db = db
+        n = len(db)
+        self.max_len = max(int(db.longest), 1)
+        self.padded = pad_codes(db.codes, db.offsets, db.lengths, self.max_len)
+        self.lengths = db.lengths.astype(np.int64)
+        self.zob = make_zobrist(self.max_len)
+        self.backend = backend
+
+    def seq_hashes(self) -> np.ndarray:
+        return sequence_hashes(self.padded, self.lengths, self.zob)
+
+    def build_network(self, no_break: bool, abundances: np.ndarray):
+        """Return (edges_from, edges_to): all pairs dist(a,b)==1 with the
+        abundance rule applied (ab[a] >= ab[b] unless no_break), a != b.
+
+        Edge lists are returned sorted by (from, to).
+        """
+        n = len(self.lengths)
+        if n == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        seqhash, hashes, valid = variant_hashes(self.padded, self.lengths, self.zob)
+
+        order = np.argsort(seqhash, kind="stable")
+        sorted_hashes = seqhash[order]
+
+        amp_ids, slot_ids, tgt_ids = _join(hashes, valid, sorted_hashes, order)
+
+        ok = verify_candidates(self.padded, self.lengths, amp_ids, slot_ids, tgt_ids)
+        amp_ids, tgt_ids = amp_ids[ok], tgt_ids[ok]
+
+        keep = amp_ids != tgt_ids
+        if not no_break:
+            keep &= abundances[amp_ids] >= abundances[tgt_ids]
+        amp_ids, tgt_ids = amp_ids[keep], tgt_ids[keep]
+
+        edge_order = np.lexsort((tgt_ids, amp_ids))
+        return amp_ids[edge_order], tgt_ids[edge_order]
+
+
+def _join(hashes, valid, sorted_hashes, order):
+    """Join variant hashes against the sorted amplicon hash array.
+
+    Returns candidate (amp, slot, target) triples (hash-equal, unverified).
+    Handles runs of equal hash values in the table (collisions)."""
+    n, n_slots = hashes.shape
+    m = len(sorted_hashes)
+    flat = hashes.reshape(-1)
+    flat_valid = valid.reshape(-1)
+
+    lo = np.searchsorted(sorted_hashes, flat, side="left")
+    hi = np.searchsorted(sorted_hashes, flat, side="right")
+    counts = np.where(flat_valid, hi - lo, 0)
+
+    total = int(counts.sum())
+    if total == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, empty, empty
+
+    flat_idx = np.repeat(np.arange(n * n_slots), counts)
+    within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    table_pos = np.repeat(lo, counts) + within
+
+    amp = flat_idx // n_slots
+    slot = flat_idx % n_slots
+    target = order[table_pos]
+    return amp, slot, target

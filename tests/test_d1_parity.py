@@ -1,0 +1,77 @@
+"""d=1 clustering parity against the reference binary."""
+
+import pytest
+
+from genfasta import amplicon_cloud, with_duplicates
+
+ALL_OUTPUTS = [
+    "-o", "out.txt",
+    "-s", "stats.txt",
+    "-u", "uclust.txt",
+    "-i", "structure.txt",
+    "-w", "seeds.fasta",
+    "-j", "network.txt",
+    "-l", "log.txt",
+]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_d1_all_outputs(both, seed):
+    fasta = amplicon_cloud(seed=seed, n_centers=6, cloud_size=20, length=70, max_edits=2)
+    both.compare(ALL_OUTPUTS, fasta)
+
+
+def test_d1_dense_cloud(both):
+    # many 1-edit chains: exercises multi-generation growth
+    fasta = amplicon_cloud(seed=11, n_centers=2, cloud_size=60, length=40, max_edits=1)
+    both.compare(ALL_OUTPUTS, fasta)
+
+
+def test_d1_duplicate_sequences_fatal(both):
+    both.compare(["-o", "out.txt", "-l", "log.txt"], with_duplicates())
+
+
+def test_d1_no_otu_breaking(both):
+    fasta = amplicon_cloud(seed=12, n_centers=3, cloud_size=30, length=50, max_edits=1)
+    both.compare(["-n"] + ALL_OUTPUTS, fasta)
+
+
+def test_d1_mothur(both):
+    fasta = amplicon_cloud(seed=13, n_centers=3, cloud_size=15, length=50)
+    both.compare(["-r", "-o", "out.txt", "-l", "log.txt"], fasta)
+
+
+def test_d1_equal_abundances(both):
+    # equal abundances: bidirectional edges, header-based tie order
+    fasta = amplicon_cloud(seed=14, n_centers=2, cloud_size=25, length=40,
+                           max_edits=1, max_abundance=2)
+    both.compare(ALL_OUTPUTS, fasta)
+
+
+def test_d1_usearch(both):
+    fasta = amplicon_cloud(seed=15, n_centers=3, cloud_size=15, length=50, usearch=True)
+    both.compare(["-z"] + ALL_OUTPUTS, fasta)
+
+
+def test_d1_short_sequences(both):
+    fasta = ">a_9\nAC\n>b_5\nAG\n>c_3\nA\n>d_2\nACG\n>e_1\nC\n"
+    both.compare(ALL_OUTPUTS, fasta)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_d1_fastidious(both, seed):
+    fasta = amplicon_cloud(seed=seed, n_centers=8, cloud_size=8, length=60,
+                           max_edits=2, max_abundance=50)
+    both.compare(["-f"] + ALL_OUTPUTS, fasta)
+
+
+def test_d1_fastidious_boundary(both):
+    fasta = amplicon_cloud(seed=23, n_centers=8, cloud_size=8, length=60,
+                           max_edits=2, max_abundance=20)
+    both.compare(["-f", "-b", "10"] + ALL_OUTPUTS, fasta)
+
+
+def test_d1_fastidious_bloom_bits(both):
+    fasta = amplicon_cloud(seed=24, n_centers=6, cloud_size=6, length=50,
+                           max_edits=2, max_abundance=10)
+    both.compare(["-f", "-y", "8"] + ALL_OUTPUTS, fasta)
