@@ -416,16 +416,32 @@ def args_show(p: Parameters, logfile) -> None:
     logfile.write("\n")
 
 
+_STDOUT_WRAPPER = None
+_STDERR_WRAPPER = None
+
+
 def make_stdout():
+    """Byte-transparent stdout wrapper (singleton: a dropped TextIOWrapper
+    would close sys.stdout.buffer when garbage-collected)."""
     import io
 
-    return io.TextIOWrapper(sys.stdout.buffer, encoding="latin-1", newline="")
+    global _STDOUT_WRAPPER
+    if _STDOUT_WRAPPER is None:
+        _STDOUT_WRAPPER = io.TextIOWrapper(
+            sys.stdout.buffer, encoding="latin-1", newline=""
+        )
+    return _STDOUT_WRAPPER
 
 
 def make_stderr():
     import io
 
-    return io.TextIOWrapper(sys.stderr.buffer, encoding="latin-1", newline="", write_through=True)
+    global _STDERR_WRAPPER
+    if _STDERR_WRAPPER is None:
+        _STDERR_WRAPPER = io.TextIOWrapper(
+            sys.stderr.buffer, encoding="latin-1", newline="", write_through=True
+        )
+    return _STDERR_WRAPPER
 
 
 def open_files(p: Parameters) -> None:
@@ -434,11 +450,9 @@ def open_files(p: Parameters) -> None:
     All streams are byte-transparent (latin-1) because fasta headers may
     contain arbitrary bytes that must round-trip unchanged."""
 
-    _stdout = make_stdout()
-
     def fopen_output(filename: str):
         if filename == "-":
-            return _stdout
+            return make_stdout()
         try:
             return open(filename, "w", newline="", encoding="latin-1")
         except OSError:
@@ -448,11 +462,12 @@ def open_files(p: Parameters) -> None:
     if p.outfile is None:
         fatal(ERROR_PREFIX, "Unable to open output file for writing.")
 
-    p.logfile = make_stderr()
     if p.opt_log:
         p.logfile = fopen_output(p.opt_log)
         if p.logfile is None:
             fatal(ERROR_PREFIX, "Unable to open log file for writing.")
+    else:
+        p.logfile = make_stderr()
 
     if p.opt_seeds:
         p.seeds_file = fopen_output(p.opt_seeds)

@@ -227,19 +227,46 @@ def verify_candidates(
 
 
 class NeighborIndex:
-    """Precomputed padded codes + Zobrist machinery for a database."""
+    """Precomputed padded codes + Zobrist machinery for a database.
+
+    backend selects where the network build runs:
+      - "numpy": host arrays (best for small inputs / no device);
+      - "jax": the chunked device pipeline (ops/neighbors_jax.py);
+      - "auto": jax when the problem is big enough to amortize
+        compilation, else numpy. SWARM_TPU_BACKEND overrides.
+    """
+
+    # below this much variant-hash work the device path cannot amortize
+    # its compile + transfer cost (measured on v5e; tunable via env)
+    AUTO_DEVICE_THRESHOLD = 20_000_000
 
     def __init__(self, db, backend: str = "auto"):
+        import os
+
         self.db = db
         n = len(db)
         self.max_len = max(int(db.longest), 1)
         self.padded = pad_codes(db.codes, db.offsets, db.lengths, self.max_len)
         self.lengths = db.lengths.astype(np.int64)
         self.zob = make_zobrist(self.max_len)
-        self.backend = backend
+        self.backend = os.environ.get("SWARM_TPU_BACKEND", backend)
 
     def seq_hashes(self) -> np.ndarray:
         return sequence_hashes(self.padded, self.lengths, self.zob)
+
+    def _resolve_backend(self) -> str:
+        if self.backend in ("numpy", "jax", "jax_shard"):
+            return self.backend
+        n = len(self.lengths)
+        work = n * (8 * self.max_len + 4)
+        if work >= self.AUTO_DEVICE_THRESHOLD:
+            try:
+                import jax  # noqa: F401
+
+                return "jax"
+            except ImportError:
+                pass
+        return "numpy"
 
     def build_network(self, no_break: bool, abundances: np.ndarray):
         """Return (edges_from, edges_to): all pairs dist(a,b)==1 with the
@@ -250,6 +277,17 @@ class NeighborIndex:
         n = len(self.lengths)
         if n == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        backend = self._resolve_backend()
+        if backend == "jax":
+            from .neighbors_jax import DeviceNeighborEngine
+
+            engine = DeviceNeighborEngine(self.db)
+            return engine.build_network(no_break, abundances)
+        if backend == "jax_shard":
+            from ..parallel.mesh import ShardedNeighborEngine
+
+            engine = ShardedNeighborEngine(self.db)
+            return engine.build_network(no_break, abundances)
         seqhash, hashes, valid = variant_hashes(self.padded, self.lengths, self.zob)
 
         order = np.argsort(seqhash, kind="stable")

@@ -7,8 +7,16 @@ binary (from the read-only checkout) once per machine and diff outputs.
 
 import os
 
-# must be set before jax is imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must be set before jax is imported anywhere; force CPU even when the
+# outer environment points at a TPU platform — unit tests exercise the
+# sharding logic on a virtual 8-device CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
+# the TPU-pool sitecustomize hook re-registers the hardware backend at
+# interpreter start; overriding the jax config wins over both
+os.environ["SWARM_TPU_FORCE_PLATFORM"] = "cpu"  # inherited by CLI subprocesses
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

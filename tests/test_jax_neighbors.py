@@ -1,0 +1,149 @@
+"""Cross-checks: the JAX device d=1 pipeline vs the numpy reference path.
+
+Runs on the CPU backend (conftest forces JAX_PLATFORMS=cpu with 8 virtual
+devices) — the same code compiles for TPU unchanged.
+"""
+
+import numpy as np
+import pytest
+
+from swarm_tpu.ops.neighbors import NeighborIndex
+
+
+def _random_db(n, min_len, max_len, seed, with_duplheaders=False):
+    """Build a Db-like object directly (bypasses fasta parsing)."""
+    from swarm_tpu.db import Db
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    lengths = rng.integers(min_len, max_len + 1, size=n)
+    seqs = [rng.integers(0, 4, size=L).astype(np.uint8) for L in lengths]
+
+    # plant guaranteed 1-edit neighbors: for ~1/3 of sequences append a
+    # mutated copy of an earlier one
+    for i in range(1, n, 3):
+        src = seqs[rng.integers(0, i)]
+        mutated = src.copy()
+        kind = rng.integers(0, 3)
+        if kind == 0 and len(mutated) > 1:  # substitution
+            p = rng.integers(0, len(mutated))
+            mutated[p] = (mutated[p] + 1 + rng.integers(0, 3)) % 4
+        elif kind == 1 and len(mutated) > 2:  # deletion
+            p = rng.integers(0, len(mutated))
+            mutated = np.delete(mutated, p)
+        else:  # insertion
+            p = rng.integers(0, len(mutated) + 1)
+            mutated = np.insert(mutated, p, rng.integers(0, 4))
+        seqs[i] = mutated
+
+    # dedupe exact duplicates (d=1 forbids them)
+    seen = set()
+    uniq = []
+    for s in seqs:
+        key = s.tobytes()
+        if key not in seen:
+            seen.add(key)
+            uniq.append(s)
+    seqs = uniq
+    n = len(seqs)
+
+    abundances = rng.integers(1, 100, size=n).astype(np.int64)
+    order = np.argsort(-abundances, kind="stable")
+    seqs = [seqs[i] for i in order]
+    abundances = abundances[order]
+
+    codes = np.concatenate(seqs) if seqs else np.zeros(0, dtype=np.uint8)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(lengths[:-1], out=offsets[1:])
+
+    db = Db()
+    db.headers = [f"seq{i}_{abundances[i]}".encode() for i in range(n)]
+    db.codes = codes
+    db.offsets = offsets
+    db.lengths = lengths
+    db.abundances = abundances
+    db.longest = int(lengths.max()) if n else 0
+    db.nucleotides = int(lengths.sum()) if n else 0
+    return db
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("no_break", [False, True])
+def test_device_network_matches_numpy(seed, no_break):
+    db = _random_db(n=300, min_len=20, max_len=90, seed=seed)
+    ab = db.abundances.astype(np.uint64)
+
+    idx_np = NeighborIndex(db, backend="numpy")
+    ef_np, et_np = idx_np.build_network(no_break, ab)
+
+    from swarm_tpu.ops.neighbors_jax import DeviceNeighborEngine
+
+    engine = DeviceNeighborEngine(db, chunk=64)
+    ef_j, et_j = engine.build_network(no_break, ab)
+
+    assert np.array_equal(ef_np, ef_j)
+    assert np.array_equal(et_np, et_j)
+    assert len(ef_np) > 0  # planted neighbors must be found
+
+
+def test_device_network_tiny_and_empty():
+    from swarm_tpu.ops.neighbors_jax import DeviceNeighborEngine
+
+    db = _random_db(n=2, min_len=5, max_len=8, seed=42)
+    ab = db.abundances.astype(np.uint64)
+    idx_np = NeighborIndex(db, backend="numpy")
+    ef_np, et_np = idx_np.build_network(False, ab)
+    engine = DeviceNeighborEngine(db)
+    ef_j, et_j = engine.build_network(False, ab)
+    assert np.array_equal(ef_np, ef_j)
+    assert np.array_equal(et_np, et_j)
+
+
+def test_device_variant_hashes_distinct_per_variant():
+    """Hash pairs of distinct variants of one sequence should differ
+    (sanity: the 2x32 scheme has no systematic collisions)."""
+    import jax.numpy as jnp
+
+    from swarm_tpu.ops.neighbors_jax import (
+        make_zobrist_pair,
+        variant_hashes_device,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    L = 64
+    padded = rng.integers(0, 4, size=(4, L)).astype(np.uint8)
+    lengths = np.full(4, L, dtype=np.int32)
+    zob = jnp.asarray(make_zobrist_pair(L))
+    _, hashes, valid = variant_hashes_device(
+        jnp.asarray(padded), jnp.asarray(lengths), zob
+    )
+    hashes = np.asarray(hashes)
+    valid = np.asarray(valid)
+    for i in range(4):
+        hs = hashes[i][valid[i]]
+        combined = (hs[:, 0].astype(np.uint64) << np.uint64(32)) | hs[
+            :, 1
+        ].astype(np.uint64)
+        assert len(np.unique(combined)) == len(combined)
+
+
+def test_sharded_network_matches_numpy():
+    """shard_map over the 8-device virtual CPU mesh == numpy network."""
+    import jax
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    from swarm_tpu.parallel.mesh import ShardedNeighborEngine
+
+    db = _random_db(n=500, min_len=30, max_len=70, seed=11)
+    ab = db.abundances.astype(np.uint64)
+
+    idx_np = NeighborIndex(db, backend="numpy")
+    ef_np, et_np = idx_np.build_network(False, ab)
+
+    engine = ShardedNeighborEngine(db, chunk=128)
+    ef_s, et_s = engine.build_network(False, ab)
+
+    assert np.array_equal(ef_np, ef_s)
+    assert np.array_equal(et_np, et_s)
+    assert len(ef_np) > 0
