@@ -1,0 +1,191 @@
+"""ctypes loader for the native host runtime (swarm_native.c).
+
+Compiles the shared library on demand with the system compiler (cached
+by mtime next to the source) and exposes typed wrappers. Import
+failures or SWARM_TPU_NATIVE=0 leave `lib` as None — callers fall back
+to the pure-Python implementations, which remain the behavioral oracle.
+"""
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "swarm_native.c"
+_SO = _DIR / "libswarm_native.so"
+
+lib = None
+
+I64 = ctypes.POINTER(ctypes.c_int64)
+I32 = ctypes.POINTER(ctypes.c_int32)
+U8 = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(
+        {1: U8, 4: I32, 8: I64}[arr.dtype.itemsize]
+    )
+
+
+def _build() -> bool:
+    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        return True
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            r = subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
+                capture_output=True,
+                timeout=120,
+            )
+            if r.returncode == 0:
+                return True
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+    return False
+
+
+if os.environ.get("SWARM_TPU_NATIVE", "1") != "0":
+    try:
+        if _build():
+            lib = ctypes.CDLL(str(_SO))
+            lib.fasta_scan.restype = ctypes.c_int64
+            lib.index_records.restype = ctypes.c_int64
+            lib.find_duplicate_seq.restype = ctypes.c_int64
+            lib.abundance_sort.restype = None
+            lib.bfs_cluster.restype = ctypes.c_int64
+    except OSError:
+        lib = None
+
+
+def available() -> bool:
+    return lib is not None
+
+
+def fasta_scan(buf: bytes):
+    """Returns (codes, seq_off, seq_len, hdr_off, hdr_len, hdr_lineno,
+    filepos) or raises FastaError(code, lineno, char)."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    buflen = len(raw)
+    max_records = buf.count(b"\n>") + (1 if buf.startswith(b">") else 0) + 1
+    codes = np.empty(buflen + 1, dtype=np.uint8)
+    seq_off = np.empty(max_records, dtype=np.int64)
+    seq_len = np.empty(max_records, dtype=np.int64)
+    hdr_off = np.empty(max_records, dtype=np.int64)
+    hdr_len = np.empty(max_records, dtype=np.int64)
+    hdr_lineno = np.empty(max_records, dtype=np.int64)
+    filepos = np.empty(max_records, dtype=np.int64)
+    err = np.zeros(3, dtype=np.int64)
+    n = lib.fasta_scan(
+        _ptr(raw) if buflen else U8(),
+        ctypes.c_int64(buflen),
+        _ptr(codes), _ptr(seq_off), _ptr(seq_len), _ptr(hdr_off),
+        _ptr(hdr_len), _ptr(hdr_lineno), _ptr(filepos),
+        ctypes.c_int64(max_records), _ptr(err),
+    )
+    if n < 0:
+        raise FastaError(int(err[0]), int(err[1]), int(err[2]))
+    return (
+        codes, seq_off[:n], seq_len[:n], hdr_off[:n], hdr_len[:n],
+        hdr_lineno[:n], filepos[:n],
+    )
+
+
+class FastaError(Exception):
+    def __init__(self, code, lineno, char):
+        super().__init__(code, lineno, char)
+        self.code = code
+        self.lineno = lineno
+        self.char = char
+
+
+def index_records(buf_arr, hdr_off, hdr_len, usearch, append_ab):
+    """Returns (abundance, ab_start, ab_end, missing_count, first_missing)
+    or raises IndexError-like IndexRecordsError(code, record)."""
+    n = len(hdr_off)
+    abundance = np.empty(n, dtype=np.int64)
+    ab_start = np.empty(n, dtype=np.int32)
+    ab_end = np.empty(n, dtype=np.int32)
+    missing = np.zeros(1, dtype=np.int64)
+    first_missing = np.zeros(1, dtype=np.int64)
+    err_idx = np.zeros(1, dtype=np.int64)
+    rc = lib.index_records(
+        _ptr(buf_arr), _ptr(hdr_off), _ptr(hdr_len), ctypes.c_int64(n),
+        ctypes.c_int(1 if usearch else 0), ctypes.c_int64(append_ab),
+        _ptr(abundance), _ptr(ab_start), _ptr(ab_end),
+        _ptr(missing), _ptr(first_missing), _ptr(err_idx),
+    )
+    if rc < 0:
+        raise MemoryError("index_records")
+    if rc > 0:
+        raise IndexRecordsError(int(rc), int(err_idx[0]))
+    return abundance, ab_start, ab_end, int(missing[0]), int(first_missing[0])
+
+
+class IndexRecordsError(Exception):
+    ILLEGAL_ABUNDANCE = 1
+    EMPTY_IDENTIFIER = 2
+    DUPLICATED_ID = 3
+
+    def __init__(self, code, record):
+        super().__init__(code, record)
+        self.code = code
+        self.record = record
+
+
+def find_duplicate_seq(codes, seq_off, seq_len) -> int:
+    n = len(seq_off)
+    return int(
+        lib.find_duplicate_seq(
+            _ptr(codes), _ptr(np.ascontiguousarray(seq_off, dtype=np.int64)),
+            _ptr(np.ascontiguousarray(seq_len, dtype=np.int64)),
+            ctypes.c_int64(n),
+        )
+    )
+
+
+def abundance_sort(buf_arr, hdr_off, hdr_len, abundance):
+    n = len(hdr_off)
+    order = np.empty(n, dtype=np.int64)
+    lib.abundance_sort(
+        _ptr(buf_arr), _ptr(hdr_off), _ptr(hdr_len),
+        _ptr(np.ascontiguousarray(abundance, dtype=np.int64)),
+        ctypes.c_int64(n), _ptr(order),
+    )
+    return order
+
+
+def bfs_cluster(n, link_start, link_count, edges_to, abundance, lengths):
+    """Returns (nswarms, swarmid, parent, generation, members,
+    swarm_bound, seed, mass, sumlen, size, singletons, maxgen)."""
+    swarmid = np.empty(n, dtype=np.int64)
+    parent = np.empty(n, dtype=np.int64)
+    generation = np.zeros(n, dtype=np.int64)
+    members = np.empty(n, dtype=np.int64)
+    swarm_bound = np.empty(n + 1, dtype=np.int64)
+    seed = np.empty(n, dtype=np.int64)
+    mass = np.empty(n, dtype=np.int64)
+    sumlen = np.empty(n, dtype=np.int64)
+    size = np.empty(n, dtype=np.int64)
+    singletons = np.empty(n, dtype=np.int64)
+    maxgen = np.empty(n, dtype=np.int64)
+    nswarms = lib.bfs_cluster(
+        ctypes.c_int64(n),
+        _ptr(np.ascontiguousarray(link_start, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(link_count, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(edges_to, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(abundance, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(lengths, dtype=np.int64)),
+        _ptr(swarmid), _ptr(parent), _ptr(generation), _ptr(members),
+        _ptr(swarm_bound), _ptr(seed), _ptr(mass), _ptr(sumlen),
+        _ptr(size), _ptr(singletons), _ptr(maxgen),
+    )
+    if nswarms < 0:
+        raise MemoryError("bfs_cluster")
+    k = int(nswarms)
+    return (
+        k, swarmid, parent, generation, members, swarm_bound[: k + 1],
+        seed[:k], mass[:k], sumlen[:k], size[:k], singletons[:k], maxgen[:k],
+    )

@@ -1,0 +1,533 @@
+/* Native host runtime for swarm_tpu.
+ *
+ * The reference implements its host pipeline in C++ (fasta parsing
+ * src/db.cc:432-803, duplicate detection :719-790, abundance parsing
+ * :161-283, sorting :388-413, BFS clustering src/algod1.cc:1185-1279).
+ * These are latency-bound pointer/byte loops that gain nothing from a
+ * TPU; this module is their native equivalent, exposed to Python via
+ * ctypes with numpy-owned buffers. Every function mirrors the Python
+ * implementation in swarm_tpu/db.py / models/d1.py bit-for-bit — the
+ * Python versions remain as the fallback and the differential-test
+ * oracle.
+ *
+ * Build: cc -O2 -shared -fPIC swarm_native.c -o libswarm_native.so
+ */
+
+#define _GNU_SOURCE
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define MAX_SEQUENCE_LENGTH 67108861LL /* src/db.cc:439 */
+#define MAX_HEADER_LENGTH 16777215LL   /* src/db.cc:443 */
+#define INT64_MAX_C 9223372036854775807LL
+
+/* ------------------------------------------------------------------ */
+/* fasta scan                                                          */
+/* ------------------------------------------------------------------ */
+
+/* error codes (err_info[0]); err_info[1] = line number, err_info[2] = char */
+#define ERR_ILLEGAL_HEADER 1
+#define ERR_EMPTY_SEQUENCE 2
+#define ERR_ILLEGAL_CHAR 3
+#define ERR_SEQ_TOO_LONG 4
+#define ERR_HEADER_TOO_LONG 5
+
+static const uint8_t NT_MAP[256] = {
+    /* A/a=1 C/c=2 G/g=3 T/t/U/u=4, rest 0 */
+    ['A'] = 1, ['a'] = 1, ['C'] = 2, ['c'] = 2,
+    ['G'] = 3, ['g'] = 3, ['T'] = 4, ['t'] = 4, ['U'] = 4, ['u'] = 4,
+};
+
+/* Scan the whole fasta buffer. Returns the number of records or a
+ * negative error code (details in err_info). Caller allocates codes
+ * (buflen bytes) and the per-record arrays (max_records entries). */
+int64_t fasta_scan(const uint8_t *buf, int64_t buflen, uint8_t *codes,
+                   int64_t *seq_off, int64_t *seq_len, int64_t *hdr_off,
+                   int64_t *hdr_len, int64_t *hdr_lineno, int64_t *filepos_out,
+                   int64_t max_records, int64_t *err_info) {
+  int64_t nrec = 0;
+  int64_t codes_pos = 0;
+  int64_t pos = 0;     /* byte offset of current line start */
+  int64_t lineno = 0;  /* 1-based number of current line */
+  int64_t filepos = 0; /* replicates the reference's progress position */
+
+  /* first line's size is pre-added (db.py: filepos = line_sizes[0]) */
+  int first = 1;
+
+  while (pos < buflen) {
+    /* current line: [pos, eol) */
+    const uint8_t *nl = memchr(buf + pos, '\n', (size_t)(buflen - pos));
+    int64_t eol = nl ? (int64_t)(nl - buf) : buflen;
+    int64_t line_size = (eol - pos) + (nl ? 1 : 0);
+    lineno++;
+    if (first) {
+      filepos = line_size;
+      first = 0;
+    }
+
+    if (buf[pos] != '>') {
+      err_info[0] = ERR_ILLEGAL_HEADER;
+      err_info[1] = lineno;
+      return -1;
+    }
+    if (nrec >= max_records)
+      return -99; /* caller bug: undercounted records */
+
+    /* header: after '>' until first ' ', '\r' or NUL */
+    int64_t hstart = pos + 1;
+    int64_t hend = eol;
+    for (int64_t i = hstart; i < eol; i++) {
+      uint8_t c = buf[i];
+      if (c == ' ' || c == '\r' || c == '\0') {
+        hend = i;
+        break;
+      }
+    }
+    if (hend - hstart > MAX_HEADER_LENGTH) {
+      err_info[0] = ERR_HEADER_TOO_LONG;
+      err_info[1] = lineno;
+      return -1;
+    }
+    hdr_off[nrec] = hstart;
+    hdr_len[nrec] = hend - hstart;
+    hdr_lineno[nrec] = lineno;
+
+    /* advance to sequence lines */
+    pos = nl ? eol + 1 : buflen;
+
+    int64_t slen = 0;
+    seq_off[nrec] = codes_pos;
+    while (pos < buflen && buf[pos] != '>') {
+      const uint8_t *nl2 = memchr(buf + pos, '\n', (size_t)(buflen - pos));
+      int64_t eol2 = nl2 ? (int64_t)(nl2 - buf) : buflen;
+      int64_t lsz = (eol2 - pos) + (nl2 ? 1 : 0);
+      lineno++;
+      filepos += lsz;
+
+      for (int64_t i = pos; i < eol2; i++) {
+        uint8_t c = buf[i];
+        if (c == '\0')
+          break; /* C-string scan stops at NUL */
+        if (c == '\r')
+          continue; /* silently skipped */
+        uint8_t t = NT_MAP[c];
+        if (t == 0) {
+          err_info[0] = ERR_ILLEGAL_CHAR;
+          err_info[1] = lineno;
+          err_info[2] = c;
+          return -1;
+        }
+        codes[codes_pos++] = t;
+        slen++;
+        if (slen > MAX_SEQUENCE_LENGTH) {
+          err_info[0] = ERR_SEQ_TOO_LONG;
+          err_info[1] = lineno;
+          return -1;
+        }
+      }
+      pos = nl2 ? eol2 + 1 : buflen;
+    }
+    /* look-ahead line number: next line is lineno+1; empty-sequence
+     * errors report (lineno+1) - 1 = lineno of the last consumed line,
+     * matching db.py:331 */
+    if (slen == 0) {
+      err_info[0] = ERR_EMPTY_SEQUENCE;
+      err_info[1] = lineno; /* == (line_index + 1) - 1 in db.py terms */
+      return -1;
+    }
+    seq_len[nrec] = slen;
+    /* account the upcoming header line into filepos (db.py adds the
+     * look-ahead line's size when advancing onto it) */
+    if (pos < buflen) {
+      const uint8_t *nl3 = memchr(buf + pos, '\n', (size_t)(buflen - pos));
+      int64_t eol3 = nl3 ? (int64_t)(nl3 - buf) : buflen;
+      filepos += (eol3 - pos) + (nl3 ? 1 : 0);
+    }
+    filepos_out[nrec] = filepos;
+    nrec++;
+  }
+  return nrec;
+}
+
+/* ------------------------------------------------------------------ */
+/* abundance parsing (db.py:_find_abundance; reference src/db.cc)      */
+/* ------------------------------------------------------------------ */
+
+static int is_digit(uint8_t c) { return c >= '0' && c <= '9'; }
+
+/* parse digits with int64 saturation (atol saturates in the reference) */
+static int64_t parse_saturated(const uint8_t *s, int64_t ndig) {
+  unsigned __int128 v = 0;
+  for (int64_t i = 0; i < ndig; i++) {
+    v = v * 10 + (unsigned)(s[i] - '0');
+    if (v > (unsigned __int128)INT64_MAX_C)
+      return INT64_MAX_C;
+  }
+  return (int64_t)v;
+}
+
+/* (_)([0-9]+)$ with <= 20 digits */
+static int find_swarm_ab(const uint8_t *h, int64_t hlen, int64_t *start,
+                         int64_t *end, int64_t *number) {
+  int64_t pos = -1;
+  for (int64_t i = hlen - 1; i >= 0; i--)
+    if (h[i] == '_') {
+      pos = i;
+      break;
+    }
+  if (pos < 0)
+    return 0;
+  int64_t ndig = 0;
+  for (int64_t i = pos + 1; i < hlen && is_digit(h[i]); i++)
+    ndig++;
+  if (ndig > 20 || ndig != hlen - pos - 1 || ndig == 0)
+    return 0;
+  *start = pos;
+  *end = hlen;
+  *number = parse_saturated(h + pos + 1, ndig);
+  return 1;
+}
+
+/* (^|;)size=([0-9]+)(;|$) with the reference's skip distances */
+static int find_usearch_ab(const uint8_t *h, int64_t hlen, int64_t *start,
+                           int64_t *end, int64_t *number) {
+  static const char attr[] = "size=";
+  const int64_t alen = 5;
+  int64_t position = 0;
+  while (position + alen < hlen) {
+    const uint8_t *f = memmem(h + position, (size_t)(hlen - position), attr,
+                              (size_t)alen);
+    if (!f)
+      return 0;
+    position = (int64_t)(f - h);
+    if (position > 0 && h[position - 1] != ';') {
+      position += alen + 1;
+      continue;
+    }
+    int64_t ndig = 0;
+    int64_t k = position + alen;
+    while (k < hlen && is_digit(h[k])) {
+      ndig++;
+      k++;
+    }
+    if (ndig == 0) {
+      position += alen + 1;
+      continue;
+    }
+    if (position + alen + ndig < hlen && h[position + alen + ndig] != ';') {
+      position += alen + ndig + 2;
+      continue;
+    }
+    *start = position > 0 ? position - 1 : 0;
+    int64_t e = position + alen + ndig + 1;
+    *end = e < hlen ? e : hlen;
+    *number = parse_saturated(h + position + alen, ndig);
+    return 1;
+  }
+  return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* per-record indexing: abundances + duplicate identifier detection    */
+/* ------------------------------------------------------------------ */
+
+static uint64_t fnv1a(const uint8_t *s, int64_t len) {
+  uint64_t hash = 1469598103934665603ULL;
+  for (int64_t i = 0; i < len; i++) {
+    hash ^= s[i];
+    hash *= 1099511628211ULL;
+  }
+  return hash;
+}
+
+/* Returns 0 on success; on the FIRST record-order error returns a code:
+ *   1 = illegal abundance value (err_idx = record)
+ *   2 = empty sequence identifier (err_idx = record)
+ *   3 = duplicated sequence identifier (err_idx = record)
+ * Outputs: abundance/ab_start/ab_end per record; missing_count and
+ * first_missing record index (-1 if none). */
+int64_t index_records(const uint8_t *buf, const int64_t *hdr_off,
+                      const int64_t *hdr_len, int64_t n, int usearch,
+                      int64_t append_ab, int64_t *abundance,
+                      int32_t *ab_start, int32_t *ab_end,
+                      int64_t *missing_count, int64_t *first_missing,
+                      int64_t *err_idx) {
+  *missing_count = 0;
+  *first_missing = -1;
+
+  /* open-addressing set for identifiers */
+  uint64_t cap = 16;
+  while (cap < (uint64_t)n * 2 + 8)
+    cap <<= 1;
+  int64_t *slots = malloc(cap * sizeof(int64_t));
+  if (!slots)
+    return -1;
+  for (uint64_t i = 0; i < cap; i++)
+    slots[i] = -1;
+  /* identifier span per record (for equality compare) */
+  int64_t *id_off = malloc((size_t)n * sizeof(int64_t));
+  int64_t *id_len = malloc((size_t)n * sizeof(int64_t));
+  if (!id_off || !id_len) {
+    free(slots);
+    free(id_off);
+    free(id_len);
+    return -1;
+  }
+
+  int64_t rc = 0;
+  for (int64_t k = 0; k < n; k++) {
+    const uint8_t *h = buf + hdr_off[k];
+    int64_t hlen = hdr_len[k];
+    int64_t start = hlen, end = hlen, number = 0;
+    int found = usearch ? find_usearch_ab(h, hlen, &start, &end, &number)
+                        : find_swarm_ab(h, hlen, &start, &end, &number);
+    if (found) {
+      if (number <= 0) {
+        *err_idx = k;
+        rc = 1;
+        goto done;
+      }
+      abundance[k] = number;
+    } else {
+      start = hlen;
+      end = hlen;
+      if (append_ab != 0) {
+        abundance[k] = append_ab;
+      } else {
+        abundance[k] = 0;
+        if ((*missing_count)++ == 0)
+          *first_missing = k;
+      }
+    }
+    ab_start[k] = (int32_t)start;
+    ab_end[k] = (int32_t)end;
+
+    if (start == 0 && end == hlen) {
+      *err_idx = k;
+      rc = 2;
+      goto done;
+    }
+
+    /* identifier = header minus annotation */
+    int64_t ioff, ilen;
+    if (start > 0) {
+      ioff = hdr_off[k];
+      ilen = start;
+    } else {
+      ioff = hdr_off[k] + end;
+      ilen = hlen - end;
+    }
+    id_off[k] = ioff;
+    id_len[k] = ilen;
+
+    uint64_t hash = fnv1a(buf + ioff, ilen);
+    uint64_t slot = hash & (cap - 1);
+    for (;;) {
+      int64_t other = slots[slot];
+      if (other < 0) {
+        slots[slot] = k;
+        break;
+      }
+      if (id_len[other] == ilen &&
+          memcmp(buf + id_off[other], buf + ioff, (size_t)ilen) == 0) {
+        *err_idx = k;
+        rc = 3;
+        goto done;
+      }
+      slot = (slot + 1) & (cap - 1);
+    }
+  }
+
+done:
+  free(slots);
+  free(id_off);
+  free(id_len);
+  return rc;
+}
+
+/* ------------------------------------------------------------------ */
+/* duplicate sequence detection (d>1 check / d=1 hashing phase)        */
+/* ------------------------------------------------------------------ */
+
+/* Returns index of the second record of the first duplicate pair (in
+ * scan order), or -1 when all sequences are distinct. */
+int64_t find_duplicate_seq(const uint8_t *codes, const int64_t *seq_off,
+                           const int64_t *seq_len, int64_t n) {
+  uint64_t cap = 16;
+  while (cap < (uint64_t)n * 2 + 8)
+    cap <<= 1;
+  int64_t *slots = malloc(cap * sizeof(int64_t));
+  if (!slots)
+    return -2;
+  for (uint64_t i = 0; i < cap; i++)
+    slots[i] = -1;
+
+  int64_t result = -1;
+  for (int64_t k = 0; k < n && result < 0; k++) {
+    const uint8_t *s = codes + seq_off[k];
+    uint64_t hash = fnv1a(s, seq_len[k]);
+    uint64_t slot = hash & (cap - 1);
+    for (;;) {
+      int64_t other = slots[slot];
+      if (other < 0) {
+        slots[slot] = k;
+        break;
+      }
+      if (seq_len[other] == seq_len[k] &&
+          memcmp(codes + seq_off[other], s, (size_t)seq_len[k]) == 0) {
+        result = k;
+        break;
+      }
+      slot = (slot + 1) & (cap - 1);
+    }
+  }
+  free(slots);
+  return result;
+}
+
+/* ------------------------------------------------------------------ */
+/* abundance sort: order by (-abundance, header bytes)                 */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+  const uint8_t *buf;
+  const int64_t *hdr_off;
+  const int64_t *hdr_len;
+  const int64_t *abundance;
+} sort_ctx;
+
+static int cmp_records(const void *pa, const void *pb, void *arg) {
+  sort_ctx *ctx = (sort_ctx *)arg;
+  int64_t a = *(const int64_t *)pa, b = *(const int64_t *)pb;
+  int64_t aa = ctx->abundance[a], ab = ctx->abundance[b];
+  if (aa != ab)
+    return aa > ab ? -1 : 1;
+  int64_t la = ctx->hdr_len[a], lb = ctx->hdr_len[b];
+  int64_t m = la < lb ? la : lb;
+  int c = memcmp(ctx->buf + ctx->hdr_off[a], ctx->buf + ctx->hdr_off[b],
+                 (size_t)m);
+  if (c)
+    return c;
+  if (la != lb)
+    return la < lb ? -1 : 1;
+  return a < b ? -1 : (a > b ? 1 : 0); /* stable */
+}
+
+void abundance_sort(const uint8_t *buf, const int64_t *hdr_off,
+                    const int64_t *hdr_len, const int64_t *abundance,
+                    int64_t n, int64_t *order) {
+  for (int64_t i = 0; i < n; i++)
+    order[i] = i;
+  sort_ctx ctx = {buf, hdr_off, hdr_len, abundance};
+  qsort_r(order, (size_t)n, sizeof(int64_t), cmp_records, &ctx);
+}
+
+/* ------------------------------------------------------------------ */
+/* d=1 BFS cluster growth (reference src/algod1.cc:1185-1279)          */
+/* ------------------------------------------------------------------ */
+
+int cmp_i64(const void *x, const void *y) {
+  int64_t a = *(const int64_t *)x, b = *(const int64_t *)y;
+  return a < b ? -1 : (a > b ? 1 : 0);
+}
+
+/* Inputs: CSR edge lists sorted by (from, to). Outputs match
+ * swarm_tpu/models/d1.py exactly: per-amplicon swarmid/parent/
+ * generation; members = amplicon ids concatenated in chain order;
+ * swarm boundaries; per-swarm stats. Returns swarm count. */
+int64_t bfs_cluster(int64_t n, const int64_t *link_start,
+                    const int64_t *link_count, const int64_t *edges_to,
+                    const int64_t *abundance, const int64_t *lengths,
+                    int64_t *swarmid, int64_t *parent, int64_t *generation,
+                    int64_t *members, int64_t *swarm_bound /* [n+1] */,
+                    int64_t *swarm_seed, int64_t *swarm_mass,
+                    int64_t *swarm_sumlen, int64_t *swarm_size,
+                    int64_t *swarm_singletons, int64_t *swarm_maxgen) {
+  for (int64_t i = 0; i < n; i++)
+    swarmid[i] = -1;
+
+  int64_t *frontier = malloc((size_t)n * sizeof(int64_t));
+  int64_t *hits = malloc((size_t)n * sizeof(int64_t));
+  if (!frontier || !hits) {
+    free(frontier);
+    free(hits);
+    return -1;
+  }
+
+  int64_t nswarms = 0;
+  int64_t mpos = 0;
+  swarm_bound[0] = 0;
+
+  for (int64_t seedi = 0; seedi < n; seedi++) {
+    if (swarmid[seedi] >= 0)
+      continue;
+    int64_t sid = nswarms;
+    swarmid[seedi] = sid;
+    parent[seedi] = -1;
+    generation[seedi] = 0;
+
+    int64_t mass = abundance[seedi];
+    int64_t singletons = abundance[seedi] == 1 ? 1 : 0;
+    int64_t sumlen = lengths[seedi];
+    int64_t maxgen = 0;
+    int64_t size = 1;
+    members[mpos++] = seedi;
+
+    int64_t nf = 1;
+    frontier[0] = seedi;
+    int64_t gen = 0;
+    while (nf > 0) {
+      gen++;
+      int64_t nh = 0;
+      for (int64_t f = 0; f < nf; f++) {
+        int64_t sub = frontier[f];
+        int64_t st = link_start[sub];
+        int64_t cnt = link_count[sub];
+        for (int64_t e = 0; e < cnt; e++) {
+          int64_t tgt = edges_to[st + e];
+          if (swarmid[tgt] < 0) {
+            swarmid[tgt] = sid;
+            generation[tgt] = gen;
+            parent[tgt] = sub;
+            hits[nh++] = tgt;
+          }
+        }
+      }
+      if (nh > 1) {
+        /* hits attach in ascending amplicon order (src/algod1.cc:1215) */
+        qsort(hits, (size_t)nh, sizeof(int64_t), cmp_i64);
+      }
+      for (int64_t hidx = 0; hidx < nh; hidx++) {
+        int64_t tgt = hits[hidx];
+        members[mpos++] = tgt;
+        mass += abundance[tgt];
+        if (abundance[tgt] == 1)
+          singletons++;
+        sumlen += lengths[tgt];
+        size++;
+      }
+      if (nh > 0)
+        maxgen = gen;
+      /* swap frontier/hits */
+      int64_t *tmp = frontier;
+      frontier = hits;
+      hits = tmp;
+      nf = nh;
+    }
+
+    swarm_seed[sid] = seedi;
+    swarm_mass[sid] = mass;
+    swarm_sumlen[sid] = sumlen;
+    swarm_size[sid] = size;
+    swarm_singletons[sid] = singletons;
+    swarm_maxgen[sid] = maxgen;
+    nswarms++;
+    swarm_bound[nswarms] = mpos;
+  }
+
+  free(frontier);
+  free(hits);
+  return nswarms;
+}
+

@@ -226,6 +226,11 @@ def db_read(p: Parameters, progress: Progress) -> Db:
     if p.input_filename != "-":
         data.close()
 
+    from . import _native
+
+    if _native.available():
+        return _db_read_native(p, progress, raw, filesize, is_regular)
+
     progress.init("Reading sequences:", filesize)
 
     # split into lines exactly like repeated getline(): each element is a
@@ -448,6 +453,159 @@ def db_read(p: Parameters, progress: Progress) -> Db:
     db.abundances = abundances[order] if n > 0 else abundances
     db.abundance_start = ab_start[order] if n > 0 else ab_start
     db.abundance_end = ab_end[order] if n > 0 else ab_end
+    db.longest = longest
+    db.nucleotides = nucleotides
+
+    p.logfile.write(
+        f"Database info:     {nucleotides} nt in {n} sequences, longest {longest} nt\n"
+    )
+
+    return db
+
+def _db_read_native(p: Parameters, progress: Progress, raw: bytes,
+                    filesize: int, is_regular: bool) -> Db:
+    """Native (C) parse path — byte-identical behavior to the Python
+    path above, including every fatal message and progress milestone."""
+    from . import _native
+
+    progress.init("Reading sequences:", filesize)
+    buf_arr = np.frombuffer(raw, dtype=np.uint8)
+    try:
+        codes_all, seq_off, seq_len, hdr_off, hdr_len, hdr_lineno, filepos = (
+            _native.fasta_scan(raw)
+        )
+    except _native.FastaError as e:
+        if e.code == 1:
+            fatal(ERROR_PREFIX, "Illegal header line in fasta file.")
+        if e.code == 2:
+            fatal(ERROR_PREFIX, "Empty sequence found on line ", e.lineno, ".")
+        if e.code == 3:
+            if 32 <= e.char <= 126:
+                fatal(
+                    ERROR_PREFIX,
+                    "Illegal character '", chr(e.char),
+                    "' in sequence on line ", e.lineno, ".",
+                )
+            fatal(
+                ERROR_PREFIX,
+                "Illegal character (ascii no ", e.char,
+                ") in sequence on line ", e.lineno, ".",
+            )
+        if e.code == 4:
+            fatal(
+                ERROR_PREFIX,
+                "Sequences longer than 67,108,861 symbols are not supported.",
+            )
+        fatal(
+            ERROR_PREFIX,
+            "Headers longer than 16,777,215 symbols are not supported.",
+        )
+
+    n = len(seq_off)
+    if is_regular:
+        for k in range(n):
+            progress.update(filepos[k])
+    progress.done()
+
+    nucleotides = int(seq_len.sum()) if n else 0
+    longest = int(seq_len.max()) if n else 0
+
+    # --- abundances and duplicate identifiers ---
+    progress.init("Indexing database:", n)
+    try:
+        abundances, ab_start, ab_end, missing_count, first_missing = (
+            _native.index_records(
+                buf_arr, hdr_off, hdr_len,
+                p.opt_usearch_abundance, p.opt_append_abundance,
+            )
+        )
+    except _native.IndexRecordsError as e:
+        k = e.record
+        header = raw[hdr_off[k] : hdr_off[k] + hdr_len[k]]
+        for j in range(k):
+            progress.update(j)
+        if e.code == _native.IndexRecordsError.ILLEGAL_ABUNDANCE:
+            fatal(
+                ERROR_PREFIX,
+                "Illegal abundance value on line ", int(hdr_lineno[k]), ":\n",
+                header.decode("latin-1"),
+                "\nAbundance values should be positive integers.",
+            )
+        if e.code == _native.IndexRecordsError.EMPTY_IDENTIFIER:
+            fatal(ERROR_PREFIX, "Empty sequence identifier.")
+        # duplicated identifier
+        start, end = 0, len(header)
+        res = (
+            _find_usearch_abundance(header)
+            if p.opt_usearch_abundance
+            else _find_swarm_abundance(header)
+        )
+        if res is not None:
+            start, end = res[0], res[1]
+        identifier = header[:start] if start > 0 else header[end:]
+        fatal(
+            ERROR_PREFIX,
+            "Duplicated sequence identifier: ",
+            identifier.decode("latin-1"),
+        )
+
+    if p.opt_differences > 1:
+        dup = _native.find_duplicate_seq(codes_all, seq_off, seq_len)
+        if dup >= 0:
+            for j in range(dup + 1):
+                progress.update(j)
+            fatal(
+                ERROR_PREFIX,
+                "some fasta entries have identical sequences.\n"
+                "Swarm expects dereplicated fasta files.\n"
+                "Such files can be produced with swarm or vsearch:\n"
+                " swarm -d 0 -w derep.fasta -o /dev/null input.fasta\n"
+                "or\n"
+                " vsearch --derep_fulllength input.fasta --sizein --sizeout --output derep.fasta",
+            )
+    for k in range(n):
+        progress.update(k)
+    progress.done()
+
+    if missing_count > 0:
+        k = first_missing
+        header = raw[hdr_off[k] : hdr_off[k] + hdr_len[k]]
+        fatal(
+            ERROR_PREFIX,
+            "Abundance annotations not found for ", missing_count,
+            " sequences, starting on line ", int(hdr_lineno[k]), ".\n>",
+            header.decode("latin-1"), "\n",
+            "Fasta headers must end with abundance annotations (_INT or ;size=INT).\n"
+            "The -z option must be used if the abundance annotation is in the latter format.\n"
+            "Abundance annotations can be produced by dereplicating the sequences.\n"
+            'The header is defined as the string comprised between the ">" symbol\n'
+            "and the first space or the end of the line, whichever comes first.",
+        )
+
+    # --- sort by decreasing abundance then lexicographic header ---
+    progress.init("Abundance sorting:", 1)
+    order = _native.abundance_sort(buf_arr, hdr_off, hdr_len, abundances)
+    progress.done()
+
+    db = Db()
+    hdr_off_s = hdr_off[order]
+    hdr_len_s = hdr_len[order]
+    db.headers = [
+        raw[hdr_off_s[i] : hdr_off_s[i] + hdr_len_s[i]] for i in range(n)
+    ]
+    db.lengths = seq_len[order].astype(np.int64)
+    db.offsets = np.zeros(n, dtype=np.int64)
+    if n > 0:
+        np.cumsum(db.lengths[:-1], out=db.offsets[1:])
+        starts_sorted = seq_off[order]
+        gather_base = np.repeat(starts_sorted - db.offsets, db.lengths)
+        arena_idx = gather_base + np.arange(nucleotides, dtype=np.int64)
+        db.codes = codes_all[arena_idx] - 1  # translated 1..4 -> 0..3
+    else:
+        db.codes = np.zeros(0, dtype=np.uint8)
+    db.abundances = abundances[order].astype(np.uint64) if n else abundances.astype(np.uint64)
+    db.abundance_start = ab_start[order] if n else ab_start
+    db.abundance_end = ab_end[order] if n else ab_end
     db.longest = longest
     db.nucleotides = nucleotides
 

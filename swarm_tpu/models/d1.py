@@ -70,25 +70,36 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
     abundances = db.abundances.astype(np.uint64)
 
     # --- hashing phase: exact duplicate-sequence check ---
+    from .. import _native
+
     progress.init("Hashing sequences:", n)
-    codes_bytes = db.codes.tobytes()
-    seen = {}
-    for k in range(n):
-        key = codes_bytes[db.offsets[k] : db.offsets[k] + db.lengths[k]]
-        if key in seen:
-            fatal(
-                ERROR_PREFIX,
-                "some fasta entries have identical sequences.\n"
-                "Swarm expects dereplicated fasta files.\n"
-                "Such files can be produced with swarm or vsearch:\n"
-                " swarm -d 0 -w derep.fasta -o /dev/null input.fasta\n"
-                "or\n"
-                " vsearch --derep_fulllength input.fasta --sizein --sizeout "
-                "--output derep.fasta\n",
-            )
-        seen[key] = k
-        progress.update(k)
-    del seen
+    dup_msg = (
+        "some fasta entries have identical sequences.\n"
+        "Swarm expects dereplicated fasta files.\n"
+        "Such files can be produced with swarm or vsearch:\n"
+        " swarm -d 0 -w derep.fasta -o /dev/null input.fasta\n"
+        "or\n"
+        " vsearch --derep_fulllength input.fasta --sizein --sizeout "
+        "--output derep.fasta\n"
+    )
+    if _native.available():
+        dup = _native.find_duplicate_seq(db.codes, db.offsets, db.lengths)
+        if dup >= 0:
+            for k in range(dup):
+                progress.update(k)
+            fatal(ERROR_PREFIX, dup_msg)
+        for k in range(n):
+            progress.update(k)
+    else:
+        codes_bytes = db.codes.tobytes()
+        seen = {}
+        for k in range(n):
+            key = codes_bytes[db.offsets[k] : db.offsets[k] + db.lengths[k]]
+            if key in seen:
+                fatal(ERROR_PREFIX, dup_msg)
+            seen[key] = k
+            progress.update(k)
+        del seen
     progress.done()
 
     # --- network phase: batched variant hashing + join ---
@@ -128,6 +139,37 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
     lengths = db.lengths
     largest = 0
     maxgen_all = 0
+
+    from .. import _native
+
+    if _native.available() and n > 0:
+        progress.init("Clustering:       ", n)
+        (
+            nswarms, swarmid, parent, generation, members, bound,
+            seed_a, mass_a, sumlen_a, size_a, singles_a, maxgen_a,
+        ) = _native.bfs_cluster(
+            n, link_start, link_count, edges_to,
+            db.abundances.astype(np.int64), lengths,
+        )
+        st.swarmid = swarmid
+        st.parent = parent
+        st.generation = generation
+        st.swarm_seed = seed_a.tolist()
+        st.swarm_members = [
+            members[bound[i] : bound[i + 1]] for i in range(nswarms)
+        ]
+        st.swarm_mass = mass_a.tolist()
+        st.swarm_sumlen = sumlen_a.tolist()
+        st.swarm_size = size_a.tolist()
+        st.swarm_singletons = singles_a.tolist()
+        st.swarm_maxgen = maxgen_a.tolist()
+        st.swarm_attached = [False] * nswarms
+        largest = int(size_a.max()) if nswarms else 0
+        maxgen_all = int(maxgen_a.max()) if nswarms else 0
+        for seed in range(n):
+            progress.update(seed + 1)
+        progress.done()
+        return _d1_finish(p, db, progress, st, index, largest, maxgen_all)
 
     progress.init("Clustering:       ", n)
     for seed in range(n):
@@ -184,6 +226,13 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
         progress.update(seed + 1)
     progress.done()
 
+    swarmcount = len(st.swarm_seed)
+    swarmcount_adjusted = swarmcount
+
+    return _d1_finish(p, db, progress, st, index, largest, maxgen_all)
+
+
+def _d1_finish(p, db, progress, st, index, largest, maxgen_all):
     swarmcount = len(st.swarm_seed)
     swarmcount_adjusted = swarmcount
 
@@ -330,7 +379,9 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
             st.graft_cand[child] = NO_SWARM
         else:
             heavy = int(st.swarmid[parent])
-            st.swarm_members[heavy].extend(st.swarm_members[child_swarm])
+            merged = list(st.swarm_members[heavy])
+            merged.extend(st.swarm_members[child_swarm])
+            st.swarm_members[heavy] = merged
             st.swarm_size[heavy] += st.swarm_size[child_swarm]
             st.swarm_singletons[heavy] += st.swarm_singletons[child_swarm]
             st.swarm_mass[heavy] += st.swarm_mass[child_swarm]

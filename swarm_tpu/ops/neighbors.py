@@ -255,7 +255,7 @@ class NeighborIndex:
         return sequence_hashes(self.padded, self.lengths, self.zob)
 
     def _resolve_backend(self) -> str:
-        if self.backend in ("numpy", "jax", "jax_shard"):
+        if self.backend in ("numpy", "jax", "jax_probe", "jax_shard"):
             return self.backend
         n = len(self.lengths)
         work = n * (8 * self.max_len + 4)
@@ -279,6 +279,11 @@ class NeighborIndex:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
         backend = self._resolve_backend()
         if backend == "jax":
+            from .neighbors_sortjoin import SortJoinNeighborEngine
+
+            engine = SortJoinNeighborEngine(self.db)
+            return engine.build_network(no_break, abundances)
+        if backend == "jax_probe":
             from .neighbors_jax import DeviceNeighborEngine
 
             engine = DeviceNeighborEngine(self.db)

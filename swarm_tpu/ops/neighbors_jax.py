@@ -48,6 +48,21 @@ if os.environ.get("SWARM_TPU_FORCE_PLATFORM"):
     # hook has registered a hardware platform at interpreter start
     jax.config.update("jax_platforms", os.environ["SWARM_TPU_FORCE_PLATFORM"])
 
+# persistent compilation cache: CLI invocations are short-lived processes,
+# so steady-state serving performance depends on XLA executables being
+# reused across runs (~20-40s saved per kernel shape on TPU)
+_CACHE_DIR = os.environ.get(
+    "SWARM_TPU_COMPILE_CACHE",
+    os.path.expanduser("~/.cache/swarm_tpu/jax_cache"),
+)
+if _CACHE_DIR and _CACHE_DIR != "0":
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except (OSError, AttributeError):
+        pass
+
 import jax.numpy as jnp
 
 _RNG_SEED = 0x5EED5EED
@@ -63,20 +78,6 @@ def make_zobrist_pair(max_len: int, seed: int = _RNG_SEED) -> np.ndarray:
     return rng.integers(0, 1 << 32, size=(max_len + 2, 4, 2), dtype=np.uint32)
 
 
-def _xor_exclusive_prefix(x: jnp.ndarray) -> jnp.ndarray:
-    """Exclusive XOR prefix scan along axis 1. x: [C, L, 2]."""
-    incl = jax.lax.associative_scan(jnp.bitwise_xor, x, axis=1)
-    zero = jnp.zeros_like(x[:, :1])
-    return jnp.concatenate([zero, incl[:, :-1]], axis=1)
-
-
-def _xor_inclusive_suffix(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive XOR suffix scan along axis 1. x: [C, L, 2]."""
-    return jax.lax.associative_scan(
-        jnp.bitwise_xor, x, axis=1, reverse=True
-    )
-
-
 def variant_hashes_device(
     padded: jnp.ndarray, lengths: jnp.ndarray, zob: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -86,85 +87,115 @@ def variant_hashes_device(
     Returns (seqhash [C, 2], hashes [C, 8L+4, 2], valid [C, 8L+4]).
     Slot layout is identical to swarm_tpu.ops.neighbors.variant_hashes
     so the host-side decode/verify machinery is shared.
+
+    The (hi, lo) hash halves are computed as independent arrays and only
+    stacked on the trailing axis at the end for the host-facing API —
+    device-side consumers should use variant_hash_halves to avoid
+    trailing-2 arrays (padded to full TPU tiles, up to 64x memory).
     """
+    (h_hi, h_lo), (s_hi, s_lo), valid = variant_hash_halves(
+        padded, lengths, zob
+    )
+    seqhash = jnp.stack([s_hi, s_lo], axis=-1)
+    hashes = jnp.stack([h_hi, h_lo], axis=-1)
+    return seqhash, hashes, valid
+
+
+def variant_hash_halves(
+    padded: jnp.ndarray, lengths: jnp.ndarray, zob: jnp.ndarray
+):
+    """((hash_hi [C, 8L+4], hash_lo), (seq_hi [C], seq_lo), valid)."""
     C, L = padded.shape
     pos = jnp.arange(L, dtype=jnp.int32)
     mask = pos[None, :] < lengths[:, None]  # [C, L]
-    mask3 = mask[..., None]
     pidx = padded.astype(jnp.int32)
     zero = jnp.zeros((), dtype=jnp.uint32)
-
-    g0 = jnp.where(mask3, zob[pos[None, :], pidx], zero)  # Z[p, s_p]
-    gm1 = jnp.where(
-        mask3 & (pos[None, :, None] >= 1),
-        zob[jnp.maximum(pos - 1, 0)[None, :], pidx],
-        zero,
-    )  # Z[p-1, s_p]
-    gp1 = jnp.where(mask3, zob[(pos + 1)[None, :], pidx], zero)  # Z[p+1, s_p]
-
-    incl = jax.lax.associative_scan(jnp.bitwise_xor, g0, axis=1)
-    seqhash = incl[:, -1]  # [C, 2]
-    prefix = jnp.concatenate(
-        [jnp.zeros_like(g0[:, :1]), incl[:, :-1]], axis=1
-    )  # exclusive prefix of g0
-
-    sufdel = _xor_inclusive_suffix(gm1)  # [C, L, 2]
-    sufdel_next = jnp.concatenate(
-        [sufdel[:, 1:], jnp.zeros_like(sufdel[:, :1])], axis=1
-    )
-    sufins = _xor_inclusive_suffix(gp1)
-    sufins_next = jnp.concatenate(
-        [sufins[:, 1:], jnp.zeros_like(sufins[:, :1])], axis=1
-    )
-
     bases = jnp.arange(4, dtype=jnp.int32)
+    other3 = _OTHER3_TABLE[pidx]  # [C, L, 3]
 
-    # substitutions: h = seqhash ^ Z[p, s_p] ^ Z[p, b]  (slots 8p..8p+3)
-    zpb = jnp.where(
-        mask[:, :, None, None],
-        zob[pos[None, :, None], bases[None, None, :]],
-        zero,
-    )  # [C, L, 4, 2]
-    sub = seqhash[:, None, None, :] ^ g0[:, :, None, :] ^ zpb
-    sub_valid = mask[:, :, None] & (pidx[:, :, None] != bases[None, None, :])
-
-    # deletions at p: prefix[p] ^ sufdel[p+1]; valid iff run start
-    dele = prefix ^ sufdel_next  # [C, L, 2]
     run_start = jnp.concatenate(
-        [
-            jnp.ones((C, 1), dtype=bool),
-            padded[:, 1:] != padded[:, :-1],
-        ],
+        [jnp.ones((C, 1), dtype=bool), padded[:, 1:] != padded[:, :-1]],
         axis=1,
     )
-    dele_valid = mask & run_start
 
-    # insertions after p (3 bases != s_p), slots 8p+5..8p+7
-    prefix_incl = prefix ^ g0
-    ins_z = jnp.where(
-        mask[:, :, None, None],
-        zob[(pos + 1)[None, :, None], bases[None, None, :]],
-        zero,
-    )  # [C, L, 4, 2]
-    ins_all = prefix_incl[:, :, None, :] ^ ins_z ^ sufins_next[:, :, None, :]
-    other3 = _OTHER3_TABLE[pidx]  # [C, L, 3]
-    ins = jnp.take_along_axis(ins_all, other3[..., None], axis=2)  # [C, L, 3, 2]
-    ins_valid = jnp.broadcast_to(mask[:, :, None], (C, L, 3))
+    hash_halves = []
+    seq_halves = []
+    sub_valid = dele_valid = ins_valid = ins0_valid = None
+    for h in range(2):
+        z = zob[..., h]  # [L+2, 4]
+        g0 = jnp.where(mask, z[pos[None, :], pidx], zero)  # Z[p, s_p]
+        gm1 = jnp.where(
+            mask & (pos[None, :] >= 1),
+            z[jnp.maximum(pos - 1, 0)[None, :], pidx],
+            zero,
+        )  # Z[p-1, s_p]
+        gp1 = jnp.where(mask, z[(pos + 1)[None, :], pidx], zero)  # Z[p+1, s_p]
 
-    block = jnp.concatenate(
-        [sub, dele[:, :, None, :], ins], axis=2
-    )  # [C, L, 8, 2]
+        incl = jax.lax.associative_scan(jnp.bitwise_xor, g0, axis=1)
+        seqhash = incl[:, -1]  # [C]
+        prefix = jnp.concatenate(
+            [jnp.zeros_like(g0[:, :1]), incl[:, :-1]], axis=1
+        )  # exclusive prefix of g0
+
+        sufdel = jax.lax.associative_scan(
+            jnp.bitwise_xor, gm1, axis=1, reverse=True
+        )
+        sufdel_next = jnp.concatenate(
+            [sufdel[:, 1:], jnp.zeros_like(sufdel[:, :1])], axis=1
+        )
+        sufins = jax.lax.associative_scan(
+            jnp.bitwise_xor, gp1, axis=1, reverse=True
+        )
+        sufins_next = jnp.concatenate(
+            [sufins[:, 1:], jnp.zeros_like(sufins[:, :1])], axis=1
+        )
+
+        # substitutions: h = seqhash ^ Z[p, s_p] ^ Z[p, b] (slots 8p..8p+3)
+        zpb = jnp.where(
+            mask[:, :, None], z[pos[None, :, None], bases[None, None, :]], zero
+        )  # [C, L, 4]
+        sub = seqhash[:, None, None] ^ g0[:, :, None] ^ zpb
+
+        # deletions at p: prefix[p] ^ sufdel[p+1]; valid iff run start
+        dele = prefix ^ sufdel_next  # [C, L]
+
+        # insertions after p (3 bases != s_p), slots 8p+5..8p+7
+        prefix_incl = prefix ^ g0
+        ins_z = jnp.where(
+            mask[:, :, None],
+            z[(pos + 1)[None, :, None], bases[None, None, :]],
+            zero,
+        )  # [C, L, 4]
+        ins_all = prefix_incl[:, :, None] ^ ins_z ^ sufins_next[:, :, None]
+        ins = jnp.take_along_axis(ins_all, other3, axis=2)  # [C, L, 3]
+
+        block = jnp.concatenate(
+            [sub, dele[:, :, None], ins], axis=2
+        )  # [C, L, 8]
+
+        # insertions before position 0, any base (4 tail slots)
+        ins0 = z[0, bases][None, :] ^ sufins[:, 0:1]  # [C, 4]
+
+        hash_halves.append(
+            jnp.concatenate([block.reshape(C, 8 * L), ins0], axis=1)
+        )
+        seq_halves.append(seqhash)
+
+        if h == 0:
+            sub_valid = mask[:, :, None] & (
+                pidx[:, :, None] != bases[None, None, :]
+            )
+            dele_valid = mask & run_start
+            ins_valid = jnp.broadcast_to(mask[:, :, None], (C, L, 3))
+            ins0_valid = jnp.broadcast_to(lengths[:, None] > 0, (C, 4))
+
     block_valid = jnp.concatenate(
         [sub_valid, dele_valid[:, :, None], ins_valid], axis=2
-    )  # [C, L, 8]
-
-    # insertions before position 0, any base (4 tail slots)
-    ins0 = zob[0, bases][None, :, :] ^ sufins[:, 0:1, :]  # [C, 4, 2]
-    ins0_valid = jnp.broadcast_to(lengths[:, None] > 0, (C, 4))
-
-    hashes = jnp.concatenate([block.reshape(C, 8 * L, 2), ins0], axis=1)
-    valid = jnp.concatenate([block_valid.reshape(C, 8 * L), ins0_valid], axis=1)
-    return seqhash, hashes, valid
+    )
+    valid = jnp.concatenate(
+        [block_valid.reshape(C, 8 * L), ins0_valid], axis=1
+    )
+    return tuple(hash_halves), tuple(seq_halves), valid
 
 
 _OTHER3_TABLE = jnp.array(
@@ -194,10 +225,10 @@ def candidates_body(
     """
     n_table = table_hi.shape[0]
     C, L = padded_chunk.shape
-    _, hashes, valid = variant_hashes_device(padded_chunk, lengths_chunk, zob)
-    S = hashes.shape[1]
-    var_hi = hashes[..., 0]
-    var_lo = hashes[..., 1]
+    (var_hi, var_lo), _, valid = variant_hash_halves(
+        padded_chunk, lengths_chunk, zob
+    )
+    S = var_hi.shape[1]
 
     idx = jnp.searchsorted(table_hi, var_hi.reshape(-1), side="left").reshape(
         C, S
@@ -232,7 +263,10 @@ def candidates_body(
     flat = flags.reshape(-1)
     count = jnp.sum(flat, dtype=jnp.int32)
     (sel,) = jnp.nonzero(flat, size=cap, fill_value=0)
-    picked = flat[sel]  # guard filler positions
+    # nonzero returns ascending indices padded with fill_value, so the
+    # real selections are exactly the first `count` slots (guarding via
+    # flat[sel] would alias a true flag at index 0 into every filler)
+    picked = jnp.arange(cap, dtype=jnp.int32) < count
 
     sk = S * probes
     amp_sel = jnp.where(picked, base_ids[sel // sk], -1)
@@ -249,13 +283,18 @@ chunk_candidates = jax.jit(
 def sequence_hashes_device(
     padded_chunk: jnp.ndarray, lengths_chunk: jnp.ndarray, zob: jnp.ndarray
 ) -> jnp.ndarray:
-    """[C, 2] uint32 sequence hashes (jitted via variant machinery's g0)."""
+    """[C, 2] uint32 sequence hashes (hi/lo halves computed separately)."""
     C, L = padded_chunk.shape
     pos = jnp.arange(L, dtype=jnp.int32)
-    mask = (pos[None, :] < lengths_chunk[:, None])[..., None]
-    g0 = jnp.where(mask, zob[pos[None, :], padded_chunk.astype(jnp.int32)], 0)
-    incl = jax.lax.associative_scan(jnp.bitwise_xor, g0, axis=1)
-    return incl[:, -1]
+    mask = pos[None, :] < lengths_chunk[:, None]
+    pidx = padded_chunk.astype(jnp.int32)
+    halves = []
+    for h in range(2):
+        z = zob[..., h]
+        g0 = jnp.where(mask, z[pos[None, :], pidx], jnp.uint32(0))
+        incl = jax.lax.associative_scan(jnp.bitwise_xor, g0, axis=1)
+        halves.append(incl[:, -1])
+    return jnp.stack(halves, axis=-1)
 
 
 _seq_hashes_jit = jax.jit(sequence_hashes_device)

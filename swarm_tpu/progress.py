@@ -6,7 +6,13 @@ Two modes, chosen by whether -l redirects logging to a file:
  - logfile mode: "<prompt>" at init, " 100%\\n" when done (no updates).
 """
 
+import os
+import sys
+import time
+
 GRANULARITY = 200
+
+_TIMING = bool(os.environ.get("SWARM_TPU_TIMING"))
 
 
 class Progress:
@@ -17,12 +23,15 @@ class Progress:
         self.size = 0
         self.chunk = 1
         self.next = 1
+        self._t0 = 0.0
 
     def init(self, prompt: str, size: int) -> None:
         self.prompt = prompt
         self.size = size
         self.chunk = 1 if size < GRANULARITY else size // GRANULARITY
         self.next = 1
+        if _TIMING:
+            self._t0 = time.perf_counter()
         if self.log_to_file:
             self.logfile.write(prompt)
         else:
@@ -44,3 +53,8 @@ class Progress:
         else:
             self.logfile.write(f"  \r{self.prompt} 100%\n")
         self.logfile.flush()
+        if _TIMING:
+            sys.__stderr__.write(
+                f"[timing] {self.prompt.strip():<40} "
+                f"{time.perf_counter() - self._t0:8.3f}s\n"
+            )

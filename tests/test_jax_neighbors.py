@@ -147,3 +147,49 @@ def test_sharded_network_matches_numpy():
     assert np.array_equal(ef_np, ef_s)
     assert np.array_equal(et_np, et_s)
     assert len(ef_np) > 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("no_break", [False, True])
+def test_sortjoin_network_matches_numpy(seed, no_break):
+    from swarm_tpu.ops.neighbors_sortjoin import SortJoinNeighborEngine
+
+    db = _random_db(n=400, min_len=20, max_len=90, seed=seed)
+    ab = db.abundances.astype(np.uint64)
+
+    idx_np = NeighborIndex(db, backend="numpy")
+    ef_np, et_np = idx_np.build_network(no_break, ab)
+
+    engine = SortJoinNeighborEngine(db)
+    ef_j, et_j = engine.build_network(no_break, ab)
+
+    assert np.array_equal(ef_np, ef_j)
+    assert np.array_equal(et_np, et_j)
+    assert len(ef_np) > 0
+
+
+def test_verify_dist1_cases():
+    from swarm_tpu.ops.neighbors_sortjoin import verify_dist1
+
+    #           0: base          1: sub @2        2: del @1       3: ins @3
+    seqs = [
+        [0, 1, 2, 3, 0, 1],
+        [0, 1, 3, 3, 0, 1],
+        [0, 2, 3, 0, 1],
+        [0, 1, 2, 2, 3, 0, 1],
+        [0, 1, 2, 3, 0, 1],  # 4: dup of 0 (dist 0)
+        [3, 2, 1, 0, 3, 2],  # 5: far away
+        [0, 1, 2, 3],        # 6: prefix of 0 (dist 2)
+        [0, 1, 2, 3, 0],     # 7: 0 minus last base (dist 1, del at end)
+    ]
+    width = 8
+    padded = np.zeros((len(seqs), width), dtype=np.uint8)
+    lengths = np.zeros(len(seqs), dtype=np.int64)
+    for i, s in enumerate(seqs):
+        padded[i, : len(s)] = s
+        lengths[i] = len(s)
+
+    a = np.array([0, 0, 0, 0, 0, 0])
+    b = np.array([1, 2, 3, 5, 6, 7])
+    got = verify_dist1(padded, lengths, a, b)
+    assert got.tolist() == [True, True, True, False, False, True]
