@@ -189,3 +189,73 @@ def bfs_cluster(n, link_start, link_count, edges_to, abundance, lengths):
         k, swarmid, parent, generation, members, swarm_bound[: k + 1],
         seed[:k], mass[:k], sumlen[:k], size[:k], singletons[:k], maxgen[:k],
     )
+
+
+if lib is not None:
+    lib.nw_backtrack_batch.restype = None
+
+
+def nw_backtrack_batch(qseq, dseqs, dlens, dirs):
+    """diffs/alignlengths along the tie-broken optimal paths.
+
+    qseq: [qlen] u8; dseqs: [B, dlen_max] u8; dlens: [B] i64;
+    dirs: [B, dlen_max, qlen] u8 direction bits.
+    """
+    B, dlen_max = dseqs.shape
+    qlen = len(qseq)
+    diffs = np.empty(B, dtype=np.int64)
+    alignlengths = np.empty(B, dtype=np.int64)
+    lib.nw_backtrack_batch(
+        _ptr(np.ascontiguousarray(qseq, dtype=np.uint8)),
+        ctypes.c_int64(qlen),
+        _ptr(np.ascontiguousarray(dseqs, dtype=np.uint8)),
+        _ptr(np.ascontiguousarray(dlens, dtype=np.int64)),
+        ctypes.c_int64(dlen_max),
+        _ptr(np.ascontiguousarray(dirs, dtype=np.uint8)),
+        ctypes.c_int64(B), _ptr(diffs), _ptr(alignlengths),
+    )
+    return diffs, alignlengths
+
+
+if lib is not None:
+    lib.gather_arena.restype = None
+
+
+def gather_arena(codes, seq_off, seq_len, order, total):
+    out = np.empty(total, dtype=np.uint8)
+    lib.gather_arena(
+        _ptr(codes),
+        _ptr(np.ascontiguousarray(seq_off, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(seq_len, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(order, dtype=np.int64)),
+        ctypes.c_int64(len(order)), _ptr(out),
+    )
+    return out
+
+
+if lib is not None:
+    lib.pad_rows.restype = None
+    lib.pack_rows.restype = None
+
+
+def pad_rows(arena, offsets, lengths, width):
+    n = len(offsets)
+    out = np.empty((n, width), dtype=np.uint8)
+    lib.pad_rows(
+        _ptr(arena),
+        _ptr(np.ascontiguousarray(offsets, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(lengths, dtype=np.int64)),
+        ctypes.c_int64(n), ctypes.c_int64(width), _ptr(out),
+    )
+    return out
+
+
+def pack_rows(padded):
+    n, width = padded.shape
+    out = np.empty((n, width // 16), dtype=np.uint32)
+    lib.pack_rows(
+        _ptr(np.ascontiguousarray(padded)), ctypes.c_int64(n),
+        ctypes.c_int64(width),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out

@@ -531,3 +531,97 @@ int64_t bfs_cluster(int64_t n, const int64_t *link_start,
   return nswarms;
 }
 
+
+/* ------------------------------------------------------------------ */
+/* alignment backtrack (reference src/utils/backtrack.h:51-138)        */
+/* ------------------------------------------------------------------ */
+
+#define BIT_UP 1
+#define BIT_LEFT 2
+#define BIT_EXTUP 4
+#define BIT_EXTLEFT 8
+
+/* Count differences along the kernel's tie-broken optimal path for a
+ * batch of targets aligned against one query. dirs is [B, dlen_max,
+ * qlen] row-major. Mirrors swarm_tpu/ops/search.py:_backtrack. */
+void nw_backtrack_batch(const uint8_t *qseq, int64_t qlen,
+                        const uint8_t *dseqs, const int64_t *dlens,
+                        int64_t dlen_max, const uint8_t *dirs, int64_t B,
+                        int64_t *diffs, int64_t *alignlengths) {
+  for (int64_t b = 0; b < B; b++) {
+    const uint8_t *dcodes = dseqs + b * dlen_max;
+    const uint8_t *dir = dirs + b * dlen_max * qlen;
+    int64_t column = qlen - 1;
+    int64_t row = dlens[b] - 1;
+    int64_t aligned = 0;
+    int64_t matches = 0;
+    int op = 0; /* 0 unknown, 1 insertion, 2 deletion, 3 match */
+    while (column >= 0 && row >= 0) {
+      aligned++;
+      uint8_t cell = dir[row * qlen + column];
+      if (op == 1 && !(cell & BIT_EXTLEFT)) {
+        row--;
+      } else if (op == 2 && !(cell & BIT_EXTUP)) {
+        column--;
+      } else if (cell & BIT_LEFT) {
+        row--;
+        op = 1;
+      } else if (!(cell & BIT_UP)) {
+        column--;
+        op = 2;
+      } else {
+        if (qseq[column] == dcodes[row])
+          matches++;
+        column--;
+        row--;
+        op = 3;
+      }
+    }
+    aligned += column + 1 + row + 1;
+    diffs[b] = aligned - matches;
+    alignlengths[b] = aligned;
+  }
+}
+
+/* ------------------------------------------------------------------ */
+/* arena gather: reorder per-record code segments into sorted order    */
+/* ------------------------------------------------------------------ */
+
+/* out must hold sum(seq_len). Translates parser codes 1..4 to 0..3. */
+void gather_arena(const uint8_t *codes, const int64_t *seq_off,
+                  const int64_t *seq_len, const int64_t *order, int64_t n,
+                  uint8_t *out) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t rec = order[i];
+    const uint8_t *src = codes + seq_off[rec];
+    int64_t len = seq_len[rec];
+    for (int64_t j = 0; j < len; j++)
+      out[pos + j] = (uint8_t)(src[j] - 1);
+    pos += len;
+  }
+}
+
+/* pad codes into an [n, width] matrix (zero fill) */
+void pad_rows(const uint8_t *arena, const int64_t *offsets,
+              const int64_t *lengths, int64_t n, int64_t width,
+              uint8_t *out) {
+  memset(out, 0, (size_t)(n * width));
+  for (int64_t i = 0; i < n; i++)
+    memcpy(out + i * width, arena + offsets[i], (size_t)lengths[i]);
+}
+
+/* pack [n, width] 2-bit codes into uint32 words (16 bases per word) */
+void pack_rows(const uint8_t *padded, int64_t n, int64_t width,
+               uint32_t *out) {
+  int64_t words = width / 16;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t *row = padded + i * width;
+    for (int64_t w = 0; w < words; w++) {
+      uint32_t v = 0;
+      for (int64_t b = 0; b < 16; b++)
+        v |= (uint32_t)(row[w * 16 + b] & 3) << (2 * b);
+      out[i * words + w] = v;
+    }
+  }
+}

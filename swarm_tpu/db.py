@@ -597,10 +597,9 @@ def _db_read_native(p: Parameters, progress: Progress, raw: bytes,
     db.offsets = np.zeros(n, dtype=np.int64)
     if n > 0:
         np.cumsum(db.lengths[:-1], out=db.offsets[1:])
-        starts_sorted = seq_off[order]
-        gather_base = np.repeat(starts_sorted - db.offsets, db.lengths)
-        arena_idx = gather_base + np.arange(nucleotides, dtype=np.int64)
-        db.codes = codes_all[arena_idx] - 1  # translated 1..4 -> 0..3
+        db.codes = _native.gather_arena(
+            codes_all, seq_off, seq_len, order, nucleotides
+        )  # reorders segments and translates 1..4 -> 0..3
     else:
         db.codes = np.zeros(0, dtype=np.uint8)
     db.abundances = abundances[order].astype(np.uint64) if n else abundances.astype(np.uint64)

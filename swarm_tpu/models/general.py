@@ -10,6 +10,7 @@ host replays the reference's array-rotation bookkeeping, which defines
 member output order.
 """
 
+import os
 from typing import List
 
 import numpy as np
@@ -51,7 +52,23 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
 
     bit_mode = set_bit_mode(d, p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend)
 
-    def aligner(seed_id: int, target_ids: np.ndarray):
+    # device screening: reject pairs whose alignment cost already proves
+    # diff > d, then re-run the few survivors through the exact host
+    # kernel (see ops/search_jax.py for the soundness argument)
+    device_aligner = None
+    backend = os.environ.get("SWARM_TPU_BACKEND", "auto")
+    if backend in ("jax", "jax_probe", "jax_shard") or (
+        backend == "auto" and n * max_len >= 4_000_000
+    ):
+        try:
+            from ..ops.search_jax import DeviceAligner
+
+            device_aligner = DeviceAligner(padded, lengths)
+        except ImportError:
+            device_aligner = None
+    cutoff = d * max(p.penalty_mismatch, p.penalty_gapopen + p.penalty_gapextend)
+
+    def _exact_diffs(seed_id: int, target_ids: np.ndarray):
         qseq = padded[seed_id, : lengths[seed_id]]
         rows = padded[target_ids]
         lens = lengths[target_ids]
@@ -65,6 +82,22 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
             p.penalty_gapextend,
             bit_mode,
         )
+        return diffs
+
+    def aligner(seed_id: int, target_ids: np.ndarray):
+        if (
+            device_aligner is None
+            or len(target_ids) < device_aligner.MIN_DEVICE_BATCH
+        ):
+            return _exact_diffs(seed_id, target_ids)
+        scr = device_aligner.scores(
+            seed_id, target_ids,
+            p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend,
+        )
+        diffs = np.full(len(target_ids), d + 1, dtype=np.int64)
+        surv = np.nonzero(scr <= cutoff)[0]
+        if len(surv):
+            diffs[surv] = _exact_diffs(seed_id, target_ids[surv])
         return diffs
 
     amps: List[Amp] = [Amp(i) for i in range(n)]

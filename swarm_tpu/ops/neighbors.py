@@ -36,7 +36,11 @@ def make_zobrist(max_len: int, seed: int = _RNG_SEED) -> np.ndarray:
 def pad_codes(codes: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,
               max_len: int) -> np.ndarray:
     """[n, max_len] uint8 matrix of nucleotide codes, zero padded."""
+    from .. import _native
+
     n = len(lengths)
+    if _native.available() and n:
+        return _native.pad_rows(codes, offsets, lengths, max_len)
     out = np.zeros((n, max_len), dtype=np.uint8)
     for i in range(n):
         out[i, : lengths[i]] = codes[offsets[i] : offsets[i] + lengths[i]]
@@ -279,10 +283,16 @@ class NeighborIndex:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
         backend = self._resolve_backend()
         if backend == "jax":
-            from .neighbors_sortjoin import SortJoinNeighborEngine
+            from .neighbors_sortjoin import (
+                SentinelCollision,
+                SortJoinNeighborEngine,
+            )
 
-            engine = SortJoinNeighborEngine(self.db)
-            return engine.build_network(no_break, abundances)
+            try:
+                engine = SortJoinNeighborEngine(self.db)
+                return engine.build_network(no_break, abundances)
+            except SentinelCollision:
+                pass  # astronomically rare: fall through to host path
         if backend == "jax_probe":
             from .neighbors_jax import DeviceNeighborEngine
 

@@ -52,6 +52,10 @@ def pack2bit(padded: np.ndarray) -> np.ndarray:
     """[n, W] uint8 codes (0..3) -> [n, W/16] uint32, little-endian bases."""
     n, W = padded.shape
     assert W % BASES_PER_WORD == 0
+    from .. import _native
+
+    if _native.available() and n:
+        return _native.pack_rows(padded)
     words = padded.astype(np.uint32).reshape(n, W // BASES_PER_WORD, BASES_PER_WORD)
     shifts = (2 * np.arange(BASES_PER_WORD, dtype=np.uint32))[None, None, :]
     return np.bitwise_or.reduce(words << shifts, axis=2)
@@ -145,15 +149,37 @@ def prepare_network(packed, lengths, zob, width):
 
 
 @partial(jax.jit, static_argnames=("width", "cap", "cap2", "window"))
-def network_all(packed, lengths, zob, width, cap, cap2, window):
-    """Fused d=1 network: packed 2-bit codes in, verified pairs out."""
+def network_pairs(packed, lengths, zob, width, cap, cap2, window):
+    """Fused join WITHOUT verification: packed codes in, unique candidate
+    pairs out.
+
+    Two-program split (this + verify_pairs) is deliberate: program
+    outputs are relayed to the host at PCIe-tunnel speed on
+    relay-attached TPUs, so each program must emit only O(pairs) data,
+    while device-resident INPUTS (packed) are free to re-pass. A single
+    fully-fused program exceeds the AOT compiler's memory.
+    """
     padded = unpack2bit_device(packed, width)
     (keys_hi, keys_lo), valid = deletion_keys_device(padded, lengths, zob)
     n = padded.shape[0]
     owner = jnp.where(valid, jnp.arange(n, dtype=jnp.int32)[:, None], -1)
-    return network_edges(
-        keys_hi.reshape(-1), keys_lo.reshape(-1), owner.reshape(-1),
-        padded, lengths, cap=cap, cap2=cap2, window=window,
+    return join_pairs(
+        keys_hi.reshape(-1), keys_lo.reshape(-1), owner.reshape(-1), n,
+        cap=cap, cap2=cap2, window=window,
+    )
+
+
+@partial(jax.jit, static_argnames=("width",))
+def verify_pairs(packed, lengths, pa, pb, width):
+    """Exact dist<=1 verification of candidate pairs (device gathers)."""
+    padded = unpack2bit_device(packed, width)
+    ok = pa >= 0
+    pa_c = jnp.maximum(pa, 0)
+    pb_c = jnp.maximum(pb, 0)
+    rows_a = padded[pa_c]
+    rows_b = padded[pb_c]
+    return ok & _verify_dist1_rows(
+        rows_a, rows_b, lengths[pa_c], lengths[pb_c]
     )
 
 
@@ -182,32 +208,38 @@ def _verify_dist1_rows(rows_a, rows_b, La, Lb):
     return same_ok | diff_ok
 
 
-@partial(jax.jit, static_argnames=("cap", "cap2", "window"))
-def network_edges(
+def join_pairs(
     keys_hi: jnp.ndarray,  # [M] uint32 (invalid keys may hold anything)
     keys_lo: jnp.ndarray,  # [M] uint32
     owner: jnp.ndarray,  # [M] int32 sequence id, -1 for invalid keys
-    padded: jnp.ndarray,  # [n, W] uint8 codes (device-resident)
-    lengths: jnp.ndarray,  # [n] int32
+    n: int,
     cap: int,
     cap2: int,
     window: int,
 ):
-    """Verified unique dist-1 pairs (pa < pb) for the whole database.
+    """Unique candidate pairs (pa < pb) sharing a deletion key.
 
-    Returns (pa [cap2], pb [cap2], good [cap2], n_flagged, n_unique,
-    overflow_run). Retry with a bigger cap / cap2 / window when
+    Returns (pa [cap2], pb [cap2], n_flagged, n_unique, overflow_run);
+    filler slots hold -1. Retry with a bigger cap / cap2 / window when
     n_flagged > cap / n_unique > cap2 / overflow_run > 0.
     """
     M = keys_hi.shape[0]
-    n = padded.shape[0]
     # invalid keys (owner < 0) alias their row's other hashes (masked
     # scan tails degenerate to the sequence hash), so they must sort
     # AFTER every valid key — otherwise they pad real runs past the
-    # window. Validity is therefore the primary sort key.
-    invalid = (owner < 0).astype(jnp.uint32)
-    _, s_hi, s_lo, s_own = jax.lax.sort(
-        (invalid, keys_hi, keys_lo, owner), num_keys=3
+    # window. Overwriting them with the all-ones sentinel is cheaper
+    # than a fourth sort operand; the (~ M * 2^-64) event of a REAL key
+    # equal to the sentinel is detected and reported via sentinel_hits
+    # so the caller can fall back to an exact host path.
+    invalid = owner < 0
+    sent = jnp.uint32(0xFFFFFFFF)
+    sentinel_hits = jnp.sum(
+        (~invalid) & (keys_hi == sent) & (keys_lo == sent), dtype=jnp.int32
+    )
+    keys_hi = jnp.where(invalid, sent, keys_hi)
+    keys_lo = jnp.where(invalid, sent, keys_lo)
+    s_hi, s_lo, s_own = jax.lax.sort(
+        (keys_hi, keys_lo, owner), num_keys=2
     )
 
     def shifted_eq(j):
@@ -242,28 +274,16 @@ def network_edges(
     plo = jnp.stack(pl_cols, axis=1).reshape(-1)  # [cap*window]
     phi = jnp.stack(ph_cols, axis=1).reshape(-1)
 
-    # dedup: sort canonical pairs (invalid ones hold (n, n) and sort last)
-    plo_s, phi_s = jax.lax.sort((plo, phi), num_keys=2)
-    is_valid = plo_s < n
-    dup = jnp.concatenate(
-        [
-            jnp.zeros(1, dtype=bool),
-            (plo_s[1:] == plo_s[:-1]) & (phi_s[1:] == phi_s[:-1]),
-        ]
-    )
-    uniq = is_valid & ~dup
-    n_unique = jnp.sum(uniq, dtype=jnp.int32)
-    (sel2,) = jnp.nonzero(uniq, size=cap2, fill_value=0)
-    picked2 = jnp.arange(cap2, dtype=jnp.int32) < n_unique
-    pa = jnp.where(picked2, plo_s[sel2], 0)
-    pb = jnp.where(picked2, phi_s[sel2], 0)
-
-    rows_a = padded[pa]
-    rows_b = padded[pb]
-    good = picked2 & _verify_dist1_rows(rows_a, rows_b, lengths[pa], lengths[pb])
-    pa = jnp.where(good, pa, -1)
-    pb = jnp.where(good, pb, -1)
-    return pa, pb, good, n_flagged, n_unique, overflow_run
+    # second compaction (no dedup sort: a pair appearing via several
+    # shared keys verifies identically; the host dedups the small
+    # verified list instead)
+    is_pair = plo < n
+    n_pairs = jnp.sum(is_pair, dtype=jnp.int32)
+    (sel2,) = jnp.nonzero(is_pair, size=cap2, fill_value=0)
+    picked2 = jnp.arange(cap2, dtype=jnp.int32) < n_pairs
+    pa = jnp.where(picked2, plo[sel2], -1)
+    pb = jnp.where(picked2, phi[sel2], -1)
+    return pa, pb, n_flagged, n_pairs, overflow_run, sentinel_hits
 
 
 def verify_dist1(
@@ -302,6 +322,16 @@ def verify_dist1(
         e2 = (x[:, 1:] == y[:, :-1]) | ~within[:, :-1]
         out[sel] = np.all(e2 | ~c[:, :-1], axis=1)
     return out
+
+
+# (cap, cap2, window) that last succeeded per (n_pad, width) — skips
+# wasted undersized attempts on repeat runs within a process
+_LAST_GOOD_PARAMS = {}
+
+
+class SentinelCollision(RuntimeError):
+    """A valid key equals the invalid-slot sentinel (probability
+    ~M * 2^-64) — the caller must use the exact host path."""
 
 
 def _row_bucket(n: int) -> int:
@@ -346,14 +376,24 @@ class SortJoinNeighborEngine:
 
         packed, lengths = self._device_arrays()
 
+        shape_key = (self.n_pad, self.width)
         cap = 1 << max(14, (n - 1).bit_length())  # ~n flagged keys typical
         cap2 = cap
         window = 8
+        cached = _LAST_GOOD_PARAMS.get(shape_key)
+        if cached:
+            cap, cap2, window = (
+                max(cap, cached[0]), max(cap2, cached[1]), max(window, cached[2])
+            )
         while True:
-            pa, pb, good, n_flagged, n_unique, over = network_all(
+            pa, pb, n_flagged, n_pairs, over, sentinel_hits = network_pairs(
                 packed, lengths, self.zob, width=self.width,
                 cap=cap, cap2=cap2, window=window,
             )
+            if int(sentinel_hits) > 0:
+                raise SentinelCollision(
+                    "a real deletion key equals the invalid-key sentinel"
+                )
             if int(over) > 0:
                 window *= 2
                 continue
@@ -361,14 +401,22 @@ class SortJoinNeighborEngine:
                 cap *= 2
                 cap2 = max(cap2, cap)
                 continue
-            if int(n_unique) > cap2:
+            if int(n_pairs) > cap2:
                 cap2 *= 2
                 continue
             break
+        _LAST_GOOD_PARAMS[shape_key] = (cap, cap2, window)
+
+        good = verify_pairs(packed, lengths, pa, pb, width=self.width)
 
         good_np = np.asarray(good)
         pa_np = np.asarray(pa)[good_np].astype(np.int64)
         pb_np = np.asarray(pb)[good_np].astype(np.int64)
+
+        # dedup pairs found via several shared keys
+        packed_pairs = np.unique(pa_np * np.int64(n) + pb_np)
+        pa_np = packed_pairs // n
+        pb_np = packed_pairs % n
 
         # both directions, abundance rule (ab[from] >= ab[to] unless no_break)
         ef = np.concatenate([pa_np, pb_np])

@@ -6,22 +6,25 @@ half the Hamming distance between two vectors, divided by the qgram
 length (ceil), lower-bounds the edit distance:
 mindiff = (diffbits + 2*5 - 1) / (2*5).
 
-Profiles are stored unpacked ([n, 1024] uint8 of 0/1) so that distance
-is a plain elementwise-xor + sum — on TPU this maps onto the VPU (and
-the seed-vs-pool batch onto an int8 matmul on the MXU if needed).
+Profiles are stored bit-packed ([n, 16] uint64) and distances computed
+with XOR + popcount (np.bitwise_count) — the same memory layout the
+reference's SIMD loop uses (src/qgram.cc:104-236). The device path
+(ops/qgram_jax.py) keeps an unpacked variant whose seed-vs-pool
+distance maps onto an int8 matmul on the MXU.
 """
 
 import numpy as np
 
 QGRAM_LENGTH = 5
 VECTOR_BITS = 1024
+WORDS = VECTOR_BITS // 64
 
 
 def qgram_profiles(padded: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """[n, 1024] uint8 parity profiles."""
+    """[n, 16] uint64 bit-packed parity profiles."""
     n, max_len = padded.shape
     if n == 0 or max_len < QGRAM_LENGTH:
-        return np.zeros((n, VECTOR_BITS), dtype=np.uint8)
+        return np.zeros((n, WORDS), dtype=np.uint64)
     codes = padded.astype(np.int64)
     # value at position p (p >= 4): low 10 bits of the rolling 5-mer
     vals = np.zeros((n, max_len), dtype=np.int64)
@@ -37,12 +40,17 @@ def qgram_profiles(padded: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     seq_ids = np.broadcast_to(np.arange(n)[:, None], vals.shape)
     flat_vals = (vals + seq_ids * VECTOR_BITS)[mask]
     counts = np.bincount(flat_vals, minlength=n * VECTOR_BITS)
-    return (counts.reshape(n, VECTOR_BITS) & 1).astype(np.uint8)
+    bits = (counts.reshape(n, VECTOR_BITS) & 1).astype(np.uint64)
+    shifts = (np.arange(VECTOR_BITS, dtype=np.uint64) % 64).reshape(1, WORDS, 64)
+    return np.bitwise_or.reduce(
+        bits.reshape(n, WORDS, 64) << shifts, axis=2
+    )
 
 
 def qgram_mindiff(profiles: np.ndarray, seed: int, targets: np.ndarray) -> np.ndarray:
     """Lower-bound edit distances between `seed` and each target."""
     if len(targets) == 0:
         return np.zeros(0, dtype=np.int64)
-    diffs = np.count_nonzero(profiles[seed][None, :] != profiles[targets], axis=1)
+    x = profiles[seed][None, :] ^ profiles[targets]
+    diffs = np.bitwise_count(x).sum(axis=1).astype(np.int64)
     return (diffs + 2 * QGRAM_LENGTH - 1) // (2 * QGRAM_LENGTH)

@@ -116,6 +116,17 @@ def search_diffs(
         if np.any(ended):
             scores[ended] = H[ended, qlen - 1]
 
+    from .. import _native
+
+    if _native.available() and B > 0:
+        diffs, alignlengths = _native.nw_backtrack_batch(
+            qseq, target_rows, target_lens, dirs
+        )
+        saturated = scores >= sat_max
+        diffs[saturated] = sat_max
+        alignlengths[saturated] = 0
+        return scores, diffs, alignlengths
+
     diffs = np.empty(B, dtype=np.int64)
     alignlengths = np.zeros(B, dtype=np.int64)
     for b in range(B):

@@ -25,6 +25,8 @@ class Progress:
         self.next = 1
         self._t0 = 0.0
 
+    _last_done = 0.0
+
     def init(self, prompt: str, size: int) -> None:
         self.prompt = prompt
         self.size = size
@@ -32,6 +34,13 @@ class Progress:
         self.next = 1
         if _TIMING:
             self._t0 = time.perf_counter()
+            if Progress._last_done:
+                gap = self._t0 - Progress._last_done
+                if gap > 0.05:
+                    sys.__stderr__.write(
+                        f"[timing]   (gap before {prompt.strip()}) "
+                        f"{gap:8.3f}s\n"
+                    )
         if self.log_to_file:
             self.logfile.write(prompt)
         else:
@@ -54,7 +63,8 @@ class Progress:
             self.logfile.write(f"  \r{self.prompt} 100%\n")
         self.logfile.flush()
         if _TIMING:
+            Progress._last_done = time.perf_counter()
             sys.__stderr__.write(
                 f"[timing] {self.prompt.strip():<40} "
-                f"{time.perf_counter() - self._t0:8.3f}s\n"
+                f"{Progress._last_done - self._t0:8.3f}s\n"
             )
