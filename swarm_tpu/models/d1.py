@@ -355,7 +355,24 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
 
     # graft candidates: join heavy variant hashes against light variant
     # hashes; exact verification by comparing reconstructed midpoints.
-    graft_candidates, graft_cand = _graft_join(db, index, heavy_amps, light_amps)
+    if index._resolve_backend() in ("jax", "jax_probe", "jax_shard"):
+        from ..ops.fastidious_jax import GraftEngine
+        from ..ops.neighbors_jax import _round_up, make_zobrist_pair
+        from ..ops.neighbors import pad_codes
+
+        width = _round_up(index.max_len, 64)
+        padded_w = pad_codes(db.codes, db.offsets, db.lengths, width)
+        eng = GraftEngine(
+            padded_w, db.lengths.astype(np.int32), make_zobrist_pair(width)
+        )
+        graft_candidates, graft_cand = eng.graft_candidates(
+            heavy_amps, light_amps
+        )
+        graft_cand = np.where(graft_cand < 0, NO_SWARM, graft_cand)
+    else:
+        graft_candidates, graft_cand = _graft_join(
+            db, index, heavy_amps, light_amps
+        )
     st.graft_cand = graft_cand
     progress.update(amps_large)
     progress.done()

@@ -193,3 +193,33 @@ def test_verify_dist1_cases():
     b = np.array([1, 2, 3, 5, 6, 7])
     got = verify_dist1(padded, lengths, a, b)
     assert got.tolist() == [True, True, True, False, False, True]
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_device_graft_matches_numpy(seed):
+    """Device fastidious graft join == host _graft_join."""
+    from swarm_tpu.models.d1 import _graft_join
+    from swarm_tpu.ops.fastidious_jax import GraftEngine
+    from swarm_tpu.ops.neighbors import NeighborIndex, pad_codes
+    from swarm_tpu.ops.neighbors_jax import _round_up, make_zobrist_pair
+
+    db = _random_db(n=250, min_len=20, max_len=60, seed=seed)
+    n = len(db)
+    rng = np.random.Generator(np.random.PCG64(seed + 99))
+    light_mask = rng.random(n) < 0.4
+    light_amps = np.nonzero(light_mask)[0]
+    heavy_amps = np.nonzero(~light_mask)[0]
+
+    index = NeighborIndex(db, backend="numpy")
+    count_np, cand_np = _graft_join(db, index, heavy_amps, light_amps)
+
+    width = _round_up(index.max_len, 64)
+    padded_w = pad_codes(db.codes, db.offsets, db.lengths, width)
+    eng = GraftEngine(
+        padded_w, db.lengths.astype(np.int32), make_zobrist_pair(width)
+    )
+    count_dev, cand_dev = eng.graft_candidates(heavy_amps, light_amps)
+
+    assert count_dev == count_np
+    assert np.array_equal(cand_np, cand_dev)
+    assert count_np > 0  # the planted clouds must produce grafts
