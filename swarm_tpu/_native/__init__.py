@@ -259,3 +259,36 @@ def pack_rows(padded):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out
+
+
+if lib is not None:
+    lib.nw_align.restype = None
+
+_NW_SCRATCH = {}
+
+
+def nw_align(dseq, qseq, mismatch, gapopen, gapextend):
+    """(nwdiff, alignment_length, cigar) — output-only scalar NW."""
+    dlen = len(dseq)
+    qlen = len(qseq)
+    key = "bufs"
+    bufs = _NW_SCRATCH.get(key)
+    need = dlen * qlen
+    if bufs is None or bufs[0].size < need or bufs[1].size < qlen:
+        dirs = np.empty(max(need, 1 << 16), dtype=np.uint8)
+        H = np.empty(max(qlen, 4096), dtype=np.int64)
+        E = np.empty(max(qlen, 4096), dtype=np.int64)
+        raw = ctypes.create_string_buffer(int(2 * (dirs.size ** 0.5) + 16) * 8)
+        _NW_SCRATCH[key] = bufs = (dirs, H, E)
+    dirs, H, E = bufs
+    raw = ctypes.create_string_buffer(dlen + qlen + 2)
+    cigar = ctypes.create_string_buffer(8 * (dlen + qlen) + 16)
+    out3 = np.zeros(3, dtype=np.int64)
+    lib.nw_align(
+        _ptr(np.ascontiguousarray(dseq, dtype=np.uint8)), ctypes.c_int64(dlen),
+        _ptr(np.ascontiguousarray(qseq, dtype=np.uint8)), ctypes.c_int64(qlen),
+        ctypes.c_int64(mismatch), ctypes.c_int64(gapopen),
+        ctypes.c_int64(gapextend),
+        _ptr(dirs), _ptr(H), _ptr(E), raw, cigar, _ptr(out3),
+    )
+    return int(out3[0]), int(out3[1]), cigar.value[: out3[2]].decode("ascii")

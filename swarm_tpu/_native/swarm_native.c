@@ -17,6 +17,7 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <stdio.h>
 
 #define MAX_SEQUENCE_LENGTH 67108861LL /* src/db.cc:439 */
 #define MAX_HEADER_LENGTH 16777215LL   /* src/db.cc:443 */
@@ -624,4 +625,127 @@ void pack_rows(const uint8_t *padded, int64_t n, int64_t width,
       out[i * words + w] = v;
     }
   }
+}
+
+/* ------------------------------------------------------------------ */
+/* output-only scalar NW with CIGAR (reference src/nw.cc:40-191,       */
+/* src/utils/cigar.cc:29-61) — used for -u H-lines                     */
+/* ------------------------------------------------------------------ */
+
+/* Returns cigar length. out3 = {nwdiff, alignment_length, cigar_len}.
+ * work: caller-allocated >= dlen*qlen (dirs) and 2*qlen int64 (H/E). */
+void nw_align(const uint8_t *dseq, int64_t dlen, const uint8_t *qseq,
+              int64_t qlen, int64_t mismatch, int64_t go, int64_t ge,
+              uint8_t *dirs, int64_t *Hbuf, int64_t *Ebuf, char *raw,
+              char *cigar, int64_t *out3) {
+  for (int64_t c = 0; c < qlen; c++) {
+    Hbuf[c] = go + (c + 1) * ge;
+    Ebuf[c] = 2 * go + (c + 2) * ge;
+  }
+
+  for (int64_t r = 0; r < dlen; r++) {
+    int64_t diag_boundary = r == 0 ? 0 : go + r * ge;
+    int64_t top_boundary = 2 * go + (r + 2) * ge;
+    uint8_t dch = dseq[r];
+    uint8_t *dirrow = dirs + r * qlen;
+
+    int64_t T = top_boundary; /* top (horizontal gap) running value */
+    int64_t prev_H = 0;       /* H[c-1] of previous row (diag source) */
+    for (int64_t c = 0; c < qlen; c++) {
+      int64_t diag_in = c == 0 ? diag_boundary : prev_H;
+      int64_t diag = diag_in + (dch == qseq[c] ? 0 : mismatch);
+      int64_t left = Ebuf[c];
+      int64_t pre = diag < left ? diag : left;
+      if (c > 0) {
+        /* T[c] = min(T[c-1] + ge, pre[c-1] + go + ge) — pre of col c-1
+         * is carried in prev_pre */
+      }
+      int64_t top = T;
+      int64_t newH = pre < top ? pre : top;
+
+      uint8_t bits = 0;
+      if (top < diag)
+        bits |= 1; /* MASKUP */
+      {
+        int64_t after_top = diag < top ? diag : top;
+        if (left <= after_top)
+          bits |= 2; /* MASKLEFT */
+      }
+      int64_t diag2 = newH + go + ge;
+      int64_t left2 = left + ge;
+      int64_t top2 = top + ge;
+      if (top2 < diag2)
+        bits |= 4; /* MASKEXTUP */
+      if (left2 < diag2)
+        bits |= 8; /* MASKEXTLEFT */
+      dirrow[c] = bits;
+
+      prev_H = Hbuf[c]; /* save previous-row H before overwrite */
+      Hbuf[c] = newH;
+      Ebuf[c] = diag2 < left2 ? diag2 : left2;
+      /* advance T for next column: min(T + ge, pre + go + ge) */
+      int64_t open2 = pre + go + ge;
+      T = T + ge < open2 ? T + ge : open2;
+    }
+  }
+
+  /* backtrack (reference src/nw.cc:115-191) */
+  int64_t column = qlen, row = dlen;
+  int64_t pos = qlen + dlen; /* fill raw from the end */
+  int64_t total = pos;
+  int64_t matches = 0;
+  char operation = 0;
+  while (column > 0 && row > 0) {
+    uint8_t cell = dirs[(row - 1) * qlen + (column - 1)];
+    if (operation == 'I' && (cell & 8)) {
+      row--;
+      raw[--pos] = 'I';
+    } else if (operation == 'D' && (cell & 4)) {
+      column--;
+      raw[--pos] = 'D';
+    } else if (cell & 2) {
+      row--;
+      raw[--pos] = 'I';
+      operation = 'I';
+    } else if (cell & 1) {
+      column--;
+      raw[--pos] = 'D';
+      operation = 'D';
+    } else {
+      if (qseq[column - 1] == dseq[row - 1])
+        matches++;
+      column--;
+      row--;
+      raw[--pos] = 'M';
+      operation = 'M';
+    }
+  }
+  while (column > 0) {
+    column--;
+    raw[--pos] = 'D';
+  }
+  while (row > 0) {
+    row--;
+    raw[--pos] = 'I';
+  }
+
+  int64_t alen = total - pos;
+  out3[0] = alen - matches;
+  out3[1] = alen;
+
+  /* RLE: counts of 1 omitted */
+  int64_t clen = 0;
+  int64_t i = pos;
+  while (i < total) {
+    char ch = raw[i];
+    int64_t cnt = 1;
+    while (i + cnt < total && raw[i + cnt] == ch)
+      cnt++;
+    if (cnt > 1)
+      clen += sprintf(cigar + clen, "%lld", (long long)cnt);
+    cigar[clen++] = ch;
+    i += cnt;
+  }
+  cigar[clen] = 0;
+  out3[2] = clen;
 }

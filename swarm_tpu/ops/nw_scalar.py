@@ -35,6 +35,11 @@ def nw(
     Returns (nwdiff, alignment_length, cigar) where cigar describes the
     alignment in M/D/I runs from the start (counts omitted when 1).
     """
+    from .. import _native
+
+    if _native.available():
+        return _native.nw_align(dseq, qseq, mismatch, gapopen, gapextend)
+
     qlen = len(qseq)
     dlen = len(dseq)
     go = np.int64(gapopen)
