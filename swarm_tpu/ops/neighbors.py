@@ -299,10 +299,14 @@ class NeighborIndex:
             engine = DeviceNeighborEngine(self.db)
             return engine.build_network(no_break, abundances)
         if backend == "jax_shard":
-            from ..parallel.mesh import ShardedNeighborEngine
+            from .neighbors_sortjoin import SentinelCollision
+            from ..parallel.mesh import SortJoinShardedEngine
 
-            engine = ShardedNeighborEngine(self.db)
-            return engine.build_network(no_break, abundances)
+            try:
+                engine = SortJoinShardedEngine(self.db)
+                return engine.build_network(no_break, abundances)
+            except SentinelCollision:
+                pass  # astronomically rare: fall through to host path
         seqhash, hashes, valid = variant_hashes(self.padded, self.lengths, self.zob)
 
         order = np.argsort(seqhash, kind="stable")

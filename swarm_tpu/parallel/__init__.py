@@ -8,4 +8,8 @@ sequence-hash table and Zobrist tables are replicated, and candidate
 counts are merged with psum.
 """
 
-from .mesh import ShardedNeighborEngine, make_mesh  # noqa: F401
+from .mesh import (  # noqa: F401
+    ShardedNeighborEngine,
+    SortJoinShardedEngine,
+    make_mesh,
+)

@@ -97,3 +97,226 @@ class ShardedNeighborEngine(DeviceNeighborEngine):
         if max_local > cap_local:
             return amp, slot, tgt, jnp.asarray(2 * cap + 1)
         return amp, slot, tgt, total
+
+
+# ---------------------------------------------------------------------
+# distributed sort-join (the flagship d=1 path, sharded)
+# ---------------------------------------------------------------------
+
+from ..ops.neighbors_sortjoin import (  # noqa: E402
+    SentinelCollision,
+    _row_bucket,
+    deletion_keys_device,
+    join_pairs,
+    pack2bit,
+    unpack2bit_device,
+    _verify_dist1_rows,
+)
+from ..ops.neighbors_jax import make_zobrist_pair  # noqa: E402
+
+
+def _sharded_join_body(
+    packed_shard, lengths_shard, packed_full, lengths_full, zob,
+    width, n_total, rows_per_shard, cap_block, cap, cap2, window, log2d,
+):
+    """Per-device: local deletion keys -> route by hash range via
+    all_to_all -> local join within the range -> local verification
+    against the replicated code table."""
+    D = 1 << log2d
+    dev = jax.lax.axis_index("amps")
+
+    padded_shard = unpack2bit_device(packed_shard, width)
+    (k_hi, k_lo), valid = deletion_keys_device(padded_shard, lengths_shard, zob)
+    base = dev * rows_per_shard
+    owner = jnp.where(
+        valid,
+        base + jnp.arange(rows_per_shard, dtype=jnp.int32)[:, None],
+        -1,
+    )
+    hi = k_hi.reshape(-1)
+    lo = k_lo.reshape(-1)
+    own = owner.reshape(-1)
+
+    # stage keys into fixed-size per-destination blocks (dest = top
+    # log2d bits of hi; invalid keys are dropped here — they carry no
+    # information and would flood block 2^32-range otherwise)
+    sent = jnp.uint32(0xFFFFFFFF)
+    hi_r = jnp.where(own < 0, sent, hi)
+    route = (hi_r >> jnp.uint32(32 - log2d)).astype(jnp.int32)
+    route = jnp.where(own < 0, D, route)  # invalid -> dropped bucket
+
+    order = jnp.argsort(route)  # stable; groups destinations
+    hi_s = hi_r[order]
+    lo_s = lo[order]
+    own_s = own[order]
+    route_s = route[order]
+
+    seg_start = jnp.concatenate(
+        [jnp.zeros(1, bool), route_s[1:] != route_s[:-1]]
+    )
+    # position within destination segment
+    idx = jnp.arange(route_s.shape[0], dtype=jnp.int32)
+    seg_first = jnp.where(seg_start | (idx == 0), idx, 0)
+    seg_first = jax.lax.associative_scan(jnp.maximum, seg_first)
+    within = idx - seg_first
+    counts = jnp.zeros((D,), jnp.int32).at[jnp.minimum(route_s, D - 1)].add(
+        jnp.where(route_s < D, 1, 0)
+    )
+    block_over = jnp.max(counts)
+
+    dst = jnp.where(
+        (route_s < D) & (within < cap_block),
+        route_s * cap_block + within,
+        D * cap_block,  # spill slot (dropped; caught via block_over)
+    )
+    stage_hi = jnp.full((D * cap_block + 1,), sent, jnp.uint32).at[dst].set(hi_s)[:-1]
+    stage_lo = jnp.zeros((D * cap_block + 1,), jnp.uint32).at[dst].set(lo_s)[:-1]
+    stage_own = jnp.full((D * cap_block + 1,), -1, jnp.int32).at[dst].set(own_s)[:-1]
+
+    r_hi = jax.lax.all_to_all(
+        stage_hi.reshape(D, cap_block), "amps", 0, 0, tiled=False
+    ).reshape(-1)
+    r_lo = jax.lax.all_to_all(
+        stage_lo.reshape(D, cap_block), "amps", 0, 0, tiled=False
+    ).reshape(-1)
+    r_own = jax.lax.all_to_all(
+        stage_own.reshape(D, cap_block), "amps", 0, 0, tiled=False
+    ).reshape(-1)
+
+    pa, pb, n_flagged, n_pairs, over, sentinel = join_pairs(
+        r_hi, r_lo, r_own, n_total, cap=cap, cap2=cap2, window=window
+    )
+
+    padded_full = unpack2bit_device(packed_full, width)
+    ok = pa >= 0
+    pa_c = jnp.maximum(pa, 0)
+    pb_c = jnp.maximum(pb, 0)
+    good = ok & _verify_dist1_rows(
+        padded_full[pa_c], padded_full[pb_c],
+        lengths_full[pa_c], lengths_full[pb_c],
+    )
+
+    stats = jnp.stack(
+        [
+            jax.lax.pmax(block_over, "amps"),
+            jax.lax.pmax(n_flagged, "amps"),
+            jax.lax.pmax(n_pairs, "amps"),
+            jax.lax.pmax(over, "amps"),
+            jax.lax.psum(sentinel, "amps"),
+        ]
+    )
+    return pa[None], pb[None], good[None], stats
+
+
+class SortJoinShardedEngine:
+    """Distributed d=1 sort-join over a device mesh.
+
+    Decomposition: amplicon shards generate deletion keys in parallel;
+    keys travel to their hash-range owner over the ICI (all_to_all);
+    each device joins + verifies its range against the replicated
+    2-bit code table; the host concatenates the per-range verified
+    pairs (ranges are disjoint, so the union is exact).
+    """
+
+    def __init__(self, db, mesh: Mesh = None):
+        devices = jax.devices()
+        if mesh is None:
+            d_pow2 = 1 << (len(devices).bit_length() - 1)
+            mesh = Mesh(np.array(devices[:d_pow2]), ("amps",))
+        self.mesh = mesh
+        self.D = mesh.devices.size
+        assert self.D & (self.D - 1) == 0, "device count must be a power of 2"
+        self.log2d = self.D.bit_length() - 1
+
+        from ..ops.neighbors import pad_codes
+        from ..ops.neighbors_jax import _round_up
+
+        n = len(db)
+        self.n = n
+        max_len = max(int(db.longest), 1)
+        self.width = _round_up(max_len, 64)
+        rows = _row_bucket(max(n, 1))
+        rows = -(-rows // self.D) * self.D
+        self.n_pad = rows
+        padded = np.zeros((rows, self.width), dtype=np.uint8)
+        padded[:n] = pad_codes(db.codes, db.offsets, db.lengths, self.width)
+        self.padded_np = padded
+        lengths = np.zeros(rows, dtype=np.int32)
+        lengths[:n] = db.lengths
+        self.lengths_np = lengths
+        self.zob = jnp.asarray(make_zobrist_pair(self.width))
+        self.packed_np = pack2bit(padded)
+        self._fns = {}
+
+    def _fn(self, cap_block, cap, cap2, window):
+        key = (cap_block, cap, cap2, window)
+        fn = self._fns.get(key)
+        if fn is None:
+            rows_per_shard = self.n_pad // self.D
+            body = partial(
+                _sharded_join_body,
+                width=self.width, n_total=self.n_pad,
+                rows_per_shard=rows_per_shard, cap_block=cap_block,
+                cap=cap, cap2=cap2, window=window, log2d=self.log2d,
+            )
+            mapped = jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P("amps"), P("amps"), P(), P(), P()),
+                out_specs=(P("amps"), P("amps"), P("amps"), P()),
+            )
+            fn = jax.jit(mapped)
+            self._fns[key] = fn
+        return fn
+
+    def build_network(self, no_break: bool, abundances: np.ndarray):
+        n = self.n
+        if n == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+
+        packed = jnp.asarray(self.packed_np)
+        lengths = jnp.asarray(self.lengths_np)
+
+        keys_per_shard = (self.n_pad // self.D) * (self.width + 1)
+        cap_block = max(1024, int(keys_per_shard / self.D * 1.5))
+        cap = 1 << max(12, (2 * n // self.D - 1).bit_length())
+        cap2 = cap
+        window = 8
+        while True:
+            fn = self._fn(cap_block, cap, cap2, window)
+            pa, pb, good, stats = fn(packed, lengths, packed, lengths, self.zob)
+            block_over, f_max, p_max, over, sentinel = (
+                int(x) for x in np.asarray(stats)
+            )
+            if sentinel > 0:
+                raise SentinelCollision("sentinel key collision")
+            if block_over > cap_block:
+                cap_block = int(block_over * 1.25)
+                continue
+            if over > 0:
+                window *= 2
+                continue
+            if f_max > cap:
+                cap *= 2
+                cap2 = max(cap2, cap)
+                continue
+            if p_max > cap2:
+                cap2 *= 2
+                continue
+            break
+
+        good_np = np.asarray(good).reshape(-1)
+        pa_np = np.asarray(pa).reshape(-1)[good_np].astype(np.int64)
+        pb_np = np.asarray(pb).reshape(-1)[good_np].astype(np.int64)
+
+        packed_pairs = np.unique(pa_np * np.int64(self.n_pad) + pb_np)
+        pa_np = packed_pairs // self.n_pad
+        pb_np = packed_pairs % self.n_pad
+
+        ef = np.concatenate([pa_np, pb_np])
+        et = np.concatenate([pb_np, pa_np])
+        if not no_break:
+            keep = abundances[ef] >= abundances[et]
+            ef, et = ef[keep], et[keep]
+        order = np.lexsort((et, ef))
+        return ef[order], et[order]

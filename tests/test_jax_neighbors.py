@@ -223,3 +223,24 @@ def test_device_graft_matches_numpy(seed):
     assert count_dev == count_np
     assert np.array_equal(cand_np, cand_dev)
     assert count_np > 0  # the planted clouds must produce grafts
+
+
+def test_distributed_sortjoin_matches_numpy():
+    """all_to_all range-partitioned sort-join on the 8-device CPU mesh
+    == numpy network."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    from swarm_tpu.parallel.mesh import SortJoinShardedEngine
+
+    db = _random_db(n=600, min_len=25, max_len=80, seed=21)
+    ab = db.abundances.astype(np.uint64)
+
+    ef_np, et_np = NeighborIndex(db, backend="numpy").build_network(False, ab)
+
+    engine = SortJoinShardedEngine(db)
+    ef_s, et_s = engine.build_network(False, ab)
+
+    assert np.array_equal(ef_np, ef_s)
+    assert np.array_equal(et_np, et_s)
+    assert len(ef_np) > 0
