@@ -6,7 +6,7 @@ Prints ONE JSON line:
    "vs_baseline": ours/reference}
 
 Methodology: both sides cluster the same deterministic synthetic corpus
-(default 200k dereplicated amplicons, ~150 nt, amplicon clouds around
+(default 1M dereplicated amplicons (the BASELINE.md north-star scale), ~150 nt, amplicon clouds around
 random centers) end to end — fasta from disk, -o/-s outputs written —
 in the hot/steady state:
   - reference (torognes/swarm built from /root/reference with `make`):
@@ -145,7 +145,7 @@ def time_ours(fasta: Path, backend: str) -> float:
 
 
 def main() -> None:
-    n_req = int(os.environ.get("SWARM_TPU_BENCH_N", "200000"))
+    n_req = int(os.environ.get("SWARM_TPU_BENCH_N", "1000000"))
     length = int(os.environ.get("SWARM_TPU_BENCH_LEN", "150"))
     backend = os.environ.get("SWARM_TPU_BENCH_BACKEND", "jax")
 

@@ -292,3 +292,84 @@ def nw_align(dseq, qseq, mismatch, gapopen, gapextend):
         _ptr(dirs), _ptr(H), _ptr(E), raw, cigar, _ptr(out3),
     )
     return int(out3[0]), int(out3[1]), cigar.value[: out3[2]].decode("ascii")
+
+
+if lib is not None:
+    lib.write_swarms_plain.restype = ctypes.c_int64
+    lib.write_stats_d1.restype = ctypes.c_int64
+
+
+class HeaderArena:
+    """Concatenated header bytes + spans, shared by the C writers."""
+
+    def __init__(self, db):
+        self.arena = np.frombuffer(b"".join(db.headers), dtype=np.uint8)
+        lens = np.array([len(h) for h in db.headers], dtype=np.int64)
+        offs = np.zeros(len(lens), dtype=np.int64)
+        if len(lens):
+            np.cumsum(lens[:-1], out=offs[1:])
+        self.hdr_off = offs
+        self.hdr_len = lens
+        self.ab_start = np.ascontiguousarray(db.abundance_start, dtype=np.int32)
+        self.ab_end = np.ascontiguousarray(db.abundance_end, dtype=np.int32)
+        self.abundance = np.ascontiguousarray(db.abundances, dtype=np.int64)
+
+
+def write_swarms_plain(arena: "HeaderArena", append_ab, usearch,
+                       members, bounds, attached) -> bytes:
+    total = int(arena.hdr_len[members].sum()) if len(members) else 0
+    cap = total + 32 * len(members) + 2 * len(bounds) + 64
+    out = ctypes.create_string_buffer(cap)
+    w = lib.write_swarms_plain(
+        _ptr(arena.arena), _ptr(arena.hdr_off), _ptr(arena.hdr_len),
+        _ptr(arena.ab_start), _ptr(arena.ab_end), _ptr(arena.abundance),
+        ctypes.c_int64(append_ab), ctypes.c_int(1 if usearch else 0),
+        _ptr(np.ascontiguousarray(members, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(bounds, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(attached, dtype=np.uint8)),
+        ctypes.c_int64(len(bounds) - 1), out, ctypes.c_int64(cap),
+    )
+    if w < 0:
+        raise MemoryError("write_swarms_plain buffer")
+    return out.raw[:w]
+
+
+def write_stats_d1(arena: "HeaderArena", usearch, seed, size, mass,
+                   singletons, maxgen, attached) -> bytes:
+    nswarms = len(seed)
+    seeds_arr = np.ascontiguousarray(seed, dtype=np.int64)
+    cap = int(arena.hdr_len[seeds_arr].sum()) + 176 * nswarms + 64 if nswarms else 64
+    out = ctypes.create_string_buffer(cap)
+    w = lib.write_stats_d1(
+        _ptr(arena.arena), _ptr(arena.hdr_off), _ptr(arena.hdr_len),
+        _ptr(arena.ab_start), _ptr(arena.ab_end), _ptr(arena.abundance),
+        ctypes.c_int(1 if usearch else 0),
+        _ptr(seeds_arr),
+        _ptr(np.ascontiguousarray(size, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(mass, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(singletons, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(maxgen, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(attached, dtype=np.uint8)),
+        ctypes.c_int64(nswarms), out, ctypes.c_int64(cap),
+    )
+    if w < 0:
+        raise MemoryError("write_stats_d1 buffer")
+    return out.raw[:w]
+
+
+if lib is not None:
+    lib.derep_groups.restype = ctypes.c_int64
+
+
+def derep_groups(codes, seq_off, seq_len):
+    n = len(seq_off)
+    group = np.empty(n, dtype=np.int64)
+    k = lib.derep_groups(
+        _ptr(codes),
+        _ptr(np.ascontiguousarray(seq_off, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(seq_len, dtype=np.int64)),
+        ctypes.c_int64(n), _ptr(group),
+    )
+    if k < 0:
+        raise MemoryError("derep_groups")
+    return int(k), group

@@ -749,3 +749,134 @@ void nw_align(const uint8_t *dseq, int64_t dlen, const uint8_t *qseq,
   cigar[clen] = 0;
   out3[2] = clen;
 }
+
+/* ------------------------------------------------------------------ */
+/* output writers (reference src/algod1.cc:791-815, 1043-1062)         */
+/* ------------------------------------------------------------------ */
+
+/* print_id (src/db.cc:946-975): header, plus appended abundance when
+ * -a is active and the header has no annotation */
+static int64_t emit_id(const uint8_t *hdr, int64_t hlen, int32_t ab_s,
+                       int32_t ab_e, int64_t ab, int64_t append_ab,
+                       int usearch, char *out) {
+  memcpy(out, hdr, (size_t)hlen);
+  int64_t w = hlen;
+  if (append_ab != 0 && ab_s == ab_e) {
+    if (usearch)
+      w += sprintf(out + w, ";size=%lld;", (long long)ab);
+    else
+      w += sprintf(out + w, "_%lld", (long long)ab);
+  }
+  return w;
+}
+
+/* print_id_noabundance (src/db.cc:978-998) */
+static int64_t emit_id_noab(const uint8_t *hdr, int64_t hlen, int32_t ab_s,
+                            int32_t ab_e, int usearch, char *out) {
+  if (ab_s < ab_e) {
+    memcpy(out, hdr, (size_t)ab_s);
+    int64_t w = ab_s;
+    if (usearch) {
+      if (ab_s > 0 && ab_e < hlen)
+        out[w++] = ';';
+      memcpy(out + w, hdr + ab_e, (size_t)(hlen - ab_e));
+      w += hlen - ab_e;
+    }
+    return w;
+  }
+  memcpy(out, hdr, (size_t)hlen);
+  return hlen;
+}
+
+/* plain swarms output: members space-separated, one line per swarm.
+ * Returns bytes written, or -1 if out_cap is too small. */
+int64_t write_swarms_plain(
+    const uint8_t *hdr_arena, const int64_t *hdr_off, const int64_t *hdr_len,
+    const int32_t *ab_start, const int32_t *ab_end, const int64_t *abundance,
+    int64_t append_ab, int usearch, const int64_t *members,
+    const int64_t *bounds, const uint8_t *attached, int64_t nswarms,
+    char *out, int64_t out_cap) {
+  int64_t w = 0;
+  for (int64_t s = 0; s < nswarms; s++) {
+    if (attached[s])
+      continue;
+    for (int64_t m = bounds[s]; m < bounds[s + 1]; m++) {
+      int64_t a = members[m];
+      if (w + hdr_len[a] + 32 > out_cap)
+        return -1;
+      if (m > bounds[s])
+        out[w++] = ' ';
+      w += emit_id(hdr_arena + hdr_off[a], hdr_len[a], ab_start[a],
+                   ab_end[a], abundance[a], append_ab, usearch, out + w);
+    }
+    out[w++] = '\n';
+  }
+  return w;
+}
+
+/* d=1 statistics output (cols 6 and 7 both print maxgen,
+ * src/algod1.cc:1055-1057) */
+int64_t write_stats_d1(
+    const uint8_t *hdr_arena, const int64_t *hdr_off, const int64_t *hdr_len,
+    const int32_t *ab_start, const int32_t *ab_end, const int64_t *abundance,
+    int usearch, const int64_t *seed, const int64_t *size,
+    const int64_t *mass, const int64_t *singletons, const int64_t *maxgen,
+    const uint8_t *attached, int64_t nswarms, char *out, int64_t out_cap) {
+  int64_t w = 0;
+  for (int64_t s = 0; s < nswarms; s++) {
+    if (attached[s])
+      continue;
+    int64_t a = seed[s];
+    if (w + hdr_len[a] + 160 > out_cap)
+      return -1;
+    w += sprintf(out + w, "%lld\t%lld\t", (long long)size[s],
+                 (long long)mass[s]);
+    w += emit_id_noab(hdr_arena + hdr_off[a], hdr_len[a], ab_start[a],
+                      ab_end[a], usearch, out + w);
+    w += sprintf(out + w, "\t%lld\t%lld\t%lld\t%lld\n",
+                 (long long)abundance[a], (long long)singletons[s],
+                 (long long)maxgen[s], (long long)maxgen[s]);
+  }
+  return w;
+}
+
+/* ------------------------------------------------------------------ */
+/* d=0 dereplication grouping (reference src/derep.cc:276-354)         */
+/* ------------------------------------------------------------------ */
+
+/* Assign each record the cluster index of its first identical sequence
+ * (clusters numbered in first-seen order). Returns cluster count. */
+int64_t derep_groups(const uint8_t *codes, const int64_t *seq_off,
+                     const int64_t *seq_len, int64_t n, int64_t *group) {
+  uint64_t cap = 16;
+  while (cap < (uint64_t)n * 2 + 8)
+    cap <<= 1;
+  int64_t *slots = malloc(cap * sizeof(int64_t)); /* first record idx */
+  if (!slots)
+    return -1;
+  for (uint64_t i = 0; i < cap; i++)
+    slots[i] = -1;
+
+  int64_t nclusters = 0;
+  for (int64_t k = 0; k < n; k++) {
+    const uint8_t *s = codes + seq_off[k];
+    uint64_t hash = fnv1a(s, seq_len[k]);
+    uint64_t slot = hash & (cap - 1);
+    for (;;) {
+      int64_t other = slots[slot];
+      if (other < 0) {
+        slots[slot] = k;
+        group[k] = nclusters++;
+        break;
+      }
+      if (seq_len[other] == seq_len[k] &&
+          memcmp(codes + seq_off[other], s, (size_t)seq_len[k]) == 0) {
+        group[k] = group[other];
+        break;
+      }
+      slot = (slot + 1) & (cap - 1);
+    }
+  }
+  free(slots);
+  return nclusters;
+}

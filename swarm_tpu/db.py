@@ -34,6 +34,9 @@ _TRANSLATE = bytes(_NT_MAP.tolist())
 
 SYM_NT = "-ACGT"
 
+# code byte (0..3) -> ACGT ascii, for fast sequence materialization
+_CODE_TO_ACGT = bytes(b"ACGT"[min(i, 3)] for i in range(256))
+
 
 @dataclass
 class Db:
@@ -57,7 +60,12 @@ class Db:
         return self.codes[off : off + self.lengths[seqno]]
 
     def sequence_string(self, seqno: int) -> str:
-        return "".join("ACGT"[c] for c in self.sequence_codes(seqno))
+        return (
+            self.sequence_codes(seqno)
+            .tobytes()
+            .translate(_CODE_TO_ACGT)
+            .decode("ascii")
+        )
 
     # --- header/abundance printing helpers (reference: src/db.cc:946-1026) ---
 
@@ -503,8 +511,9 @@ def _db_read_native(p: Parameters, progress: Progress, raw: bytes,
 
     n = len(seq_off)
     if is_regular:
-        for k in range(n):
-            progress.update(filepos[k])
+        from .progress import replay_values
+
+        replay_values(progress, filepos)
     progress.done()
 
     nucleotides = int(seq_len.sum()) if n else 0
@@ -563,8 +572,9 @@ def _db_read_native(p: Parameters, progress: Progress, raw: bytes,
                 "or\n"
                 " vsearch --derep_fulllength input.fasta --sizein --sizeout --output derep.fasta",
             )
-    for k in range(n):
-        progress.update(k)
+    from .progress import replay_range
+
+    replay_range(progress, n)
     progress.done()
 
     if missing_count > 0:

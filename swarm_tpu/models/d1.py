@@ -63,6 +63,9 @@ class D1State:
         self.swarm_singletons: List[int] = []
         self.swarm_maxgen: List[int] = []
         self.swarm_attached: List[bool] = []
+        # flat CSR members (native BFS path; invalidated by grafting)
+        self.flat_members = None
+        self.flat_bounds = None
 
 
 def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
@@ -84,12 +87,12 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
     )
     if _native.available():
         dup = _native.find_duplicate_seq(db.codes, db.offsets, db.lengths)
+        from ..progress import replay_range
+
         if dup >= 0:
-            for k in range(dup):
-                progress.update(k)
+            replay_range(progress, dup)
             fatal(ERROR_PREFIX, dup_msg)
-        for k in range(n):
-            progress.update(k)
+        replay_range(progress, n)
     else:
         codes_bytes = db.codes.tobytes()
         seen = {}
@@ -164,10 +167,13 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
         st.swarm_singletons = singles_a.tolist()
         st.swarm_maxgen = maxgen_a.tolist()
         st.swarm_attached = [False] * nswarms
+        st.flat_members = members
+        st.flat_bounds = bound
         largest = int(size_a.max()) if nswarms else 0
         maxgen_all = int(maxgen_a.max()) if nswarms else 0
-        for seed in range(n):
-            progress.update(seed + 1)
+        from ..progress import replay_range
+
+        replay_range(progress, n + 1)
         progress.done()
         return _d1_finish(p, db, progress, st, index, largest, maxgen_all)
 
@@ -516,12 +522,34 @@ def _materialize(padded, lengths, amp, slot, max_len):
 
 
 def _output_results(p, db, progress, st, swarmcount_adjusted):
+    from .. import _native
+
     ua = p.opt_usearch_abundance
     aa = p.opt_append_abundance
     swarmcount = len(st.swarm_seed)
 
+    arena = _native.HeaderArena(db) if _native.available() else None
+    attached_u8 = np.asarray(st.swarm_attached, dtype=np.uint8)
+    no_grafts = not attached_u8.any()
+
     # swarms
-    if p.opt_mothur:
+    if (
+        arena is not None
+        and not p.opt_mothur
+        and st.flat_members is not None
+        and no_grafts
+    ):
+        progress.init("Writing swarms:   ", swarmcount)
+        p.outfile.write(
+            _native.write_swarms_plain(
+                arena, aa, ua, st.flat_members, st.flat_bounds, attached_u8
+            ).decode("latin-1")
+        )
+        from ..progress import replay_range
+
+        replay_range(progress, swarmcount + 1)
+        progress.done()
+    elif p.opt_mothur:
         progress.init("Writing swarms:   ", swarmcount)
         out = [f"swarm_{p.opt_differences}\t{swarmcount_adjusted}"]
         for i in range(swarmcount):
@@ -636,16 +664,27 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
     # stats
     if p.opt_statistics_file:
         progress.init("Writing stats:    ", swarmcount)
-        out = []
-        for i in range(swarmcount):
-            if st.swarm_attached[i]:
-                continue
-            seed = st.swarm_seed[i]
-            out.append(
-                f"{st.swarm_size[i]}\t{st.swarm_mass[i]}\t"
-                f"{db.print_id_noabundance(seed, ua)}\t{db.abundances[seed]}\t"
-                f"{st.swarm_singletons[i]}\t{st.swarm_maxgen[i]}\t{st.swarm_maxgen[i]}\n"
+        if arena is not None and no_grafts:
+            p.statsfile.write(
+                _native.write_stats_d1(
+                    arena, ua, st.swarm_seed, st.swarm_size, st.swarm_mass,
+                    st.swarm_singletons, st.swarm_maxgen, attached_u8
+                ).decode("latin-1")
             )
-            progress.update(i)
-        p.statsfile.write("".join(out))
+            from ..progress import replay_range
+
+            replay_range(progress, swarmcount)
+        else:
+            out = []
+            for i in range(swarmcount):
+                if st.swarm_attached[i]:
+                    continue
+                seed = st.swarm_seed[i]
+                out.append(
+                    f"{st.swarm_size[i]}\t{st.swarm_mass[i]}\t"
+                    f"{db.print_id_noabundance(seed, ua)}\t{db.abundances[seed]}\t"
+                    f"{st.swarm_singletons[i]}\t{st.swarm_maxgen[i]}\t{st.swarm_maxgen[i]}\n"
+                )
+                progress.update(i)
+            p.statsfile.write("".join(out))
         progress.done()

@@ -7,6 +7,8 @@ chained in database (abundance-sorted) order.
 
 from typing import Dict, List
 
+import numpy as np
+
 from ..db import Db
 from ..params import Parameters
 from ..progress import Progress
@@ -23,38 +25,80 @@ class Cluster:
         self.singletons = 0
 
 
+def _group_native(db: Db, progress: Progress):
+    """C grouping + numpy aggregation (same cluster semantics)."""
+    from .. import _native
+    from ..progress import replay_range
+
+    n = len(db)
+    nclusters, group = _native.derep_groups(db.codes, db.offsets, db.lengths)
+    mass = np.bincount(group, weights=db.abundances.astype(np.float64),
+                       minlength=nclusters).astype(np.int64)
+    # float64 weights are exact only below 2^53; recompute exactly when
+    # any cluster could exceed that
+    if mass.max(initial=0) >= (1 << 53) - 1:
+        mass = np.zeros(nclusters, dtype=np.int64)
+        np.add.at(mass, group, db.abundances.astype(np.int64))
+    size = np.bincount(group, minlength=nclusters)
+    singles = np.bincount(
+        group, weights=(db.abundances == 1).astype(np.float64),
+        minlength=nclusters,
+    ).astype(np.int64)
+    order_members = np.argsort(group, kind="stable")
+    bounds = np.zeros(nclusters + 1, dtype=np.int64)
+    np.cumsum(size, out=bounds[1:])
+    first = order_members[bounds[:-1]]
+
+    clusters = []
+    for c in range(nclusters):
+        cl = Cluster(int(first[c]))
+        cl.members = order_members[bounds[c] : bounds[c + 1]]
+        cl.mass = int(mass[c])
+        cl.size = int(size[c])
+        cl.singletons = int(singles[c])
+        clusters.append(cl)
+    replay_range(progress, n)
+    return clusters, int(mass.max(initial=0)), int(size.max(initial=0))
+
+
 def dereplicate(p: Parameters, db: Db, progress: Progress) -> None:
+    from .. import _native
+
     n = len(db)
 
     progress.init("Dereplicating:    ", n)
-    by_sequence: Dict[bytes, Cluster] = {}
-    clusters: List[Cluster] = []
-    maxmass = 0
-    maxsize = 0
+    if _native.available() and n:
+        clusters, maxmass, maxsize = _group_native(db, progress)
+        progress.done()
+    else:
+        by_sequence: Dict[bytes, Cluster] = {}
+        clusters = []
+        maxmass = 0
+        maxsize = 0
 
-    offsets = db.offsets
-    lengths = db.lengths
-    codes_bytes = db.codes.tobytes()
-    abundances = db.abundances
+        offsets = db.offsets
+        lengths = db.lengths
+        codes_bytes = db.codes.tobytes()
+        abundances = db.abundances
 
-    for seqno in range(n):
-        key = codes_bytes[offsets[seqno] : offsets[seqno] + lengths[seqno]]
-        cluster = by_sequence.get(key)
-        if cluster is None:
-            cluster = Cluster(seqno)
-            cluster.members = []
-            by_sequence[key] = cluster
-            clusters.append(cluster)
-        cluster.members.append(seqno)
-        abundance = int(abundances[seqno])
-        cluster.mass += abundance
-        cluster.size += 1
-        if abundance == 1:
-            cluster.singletons += 1
-        maxmass = max(maxmass, cluster.mass)
-        maxsize = max(maxsize, cluster.size)
-        progress.update(seqno)
-    progress.done()
+        for seqno in range(n):
+            key = codes_bytes[offsets[seqno] : offsets[seqno] + lengths[seqno]]
+            cluster = by_sequence.get(key)
+            if cluster is None:
+                cluster = Cluster(seqno)
+                cluster.members = []
+                by_sequence[key] = cluster
+                clusters.append(cluster)
+            cluster.members.append(seqno)
+            abundance = int(abundances[seqno])
+            cluster.mass += abundance
+            cluster.size += 1
+            if abundance == 1:
+                cluster.singletons += 1
+            maxmass = max(maxmass, cluster.mass)
+            maxsize = max(maxsize, cluster.size)
+            progress.update(seqno)
+        progress.done()
 
     progress.init("Sorting:          ", 1)
     clusters.sort(key=lambda c: (-c.mass, c.seqno_first))

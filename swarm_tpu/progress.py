@@ -68,3 +68,31 @@ class Progress:
                 f"[timing] {self.prompt.strip():<40} "
                 f"{Progress._last_done - self._t0:8.3f}s\n"
             )
+
+
+def replay_range(progress: Progress, total: int) -> None:
+    """Emit exactly the writes of `for k in range(total): update(k)`
+    without the O(total) Python loop (used by the native fast paths)."""
+    if progress.log_to_file or total <= 0:
+        return
+    k = progress.next
+    while k < total:
+        progress.update(k)
+        k = progress.next
+
+
+def replay_values(progress: Progress, values) -> None:
+    """Emit exactly the writes of `for v in values: update(v)` for a
+    non-decreasing value sequence (e.g. file positions)."""
+    import numpy as np
+
+    if progress.log_to_file or len(values) == 0:
+        return
+    values = np.asarray(values)
+    n = len(values)
+    j = 0
+    while True:
+        j = int(np.searchsorted(values, progress.next, side="left"))
+        if j >= n:
+            break
+        progress.update(int(values[j]))
