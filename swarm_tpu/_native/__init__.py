@@ -300,16 +300,22 @@ if lib is not None:
 
 
 class HeaderArena:
-    """Concatenated header bytes + spans, shared by the C writers."""
+    """Header bytes + spans, shared by the C writers."""
 
     def __init__(self, db):
-        self.arena = np.frombuffer(b"".join(db.headers), dtype=np.uint8)
-        lens = np.array([len(h) for h in db.headers], dtype=np.int64)
-        offs = np.zeros(len(lens), dtype=np.int64)
-        if len(lens):
-            np.cumsum(lens[:-1], out=offs[1:])
-        self.hdr_off = offs
-        self.hdr_len = lens
+        if getattr(db, "hdr_buffer", None) is not None:
+            # native parse path: spans point into the raw input buffer
+            self.arena = db.hdr_buffer
+            self.hdr_off = np.ascontiguousarray(db.hdr_off, dtype=np.int64)
+            self.hdr_len = np.ascontiguousarray(db.hdr_len, dtype=np.int64)
+        else:
+            self.arena = np.frombuffer(b"".join(db.headers), dtype=np.uint8)
+            lens = np.array([len(h) for h in db.headers], dtype=np.int64)
+            offs = np.zeros(len(lens), dtype=np.int64)
+            if len(lens):
+                np.cumsum(lens[:-1], out=offs[1:])
+            self.hdr_off = offs
+            self.hdr_len = lens
         self.ab_start = np.ascontiguousarray(db.abundance_start, dtype=np.int32)
         self.ab_end = np.ascontiguousarray(db.abundance_end, dtype=np.int32)
         self.abundance = np.ascontiguousarray(db.abundances, dtype=np.int64)

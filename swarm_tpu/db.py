@@ -42,7 +42,7 @@ _CODE_TO_ACGT = bytes(b"ACGT"[min(i, 3)] for i in range(256))
 class Db:
     """Amplicon database after parsing and abundance sorting."""
 
-    headers: List[bytes] = field(default_factory=list)
+    _headers: List[bytes] = field(default_factory=list)
     codes: np.ndarray = None  # uint8 arena of 0..3 codes, concatenated
     offsets: np.ndarray = None  # int64 [n]
     lengths: np.ndarray = None  # int64 [n]
@@ -51,9 +51,32 @@ class Db:
     abundance_end: np.ndarray = None  # int32 [n]
     longest: int = 0
     nucleotides: int = 0
+    n: int = 0
+    # header spans into a shared byte buffer (native parse path); the
+    # headers list is materialized lazily from these — the C writers
+    # work from the spans directly
+    hdr_buffer: np.ndarray = None  # uint8
+    hdr_off: np.ndarray = None  # int64 [n], sorted order
+    hdr_len: np.ndarray = None  # int64 [n]
+
+    @property
+    def headers(self) -> List[bytes]:
+        if not self._headers and self.hdr_buffer is not None and self.n:
+            buf = self.hdr_buffer.tobytes()
+            off = self.hdr_off
+            ln = self.hdr_len
+            self._headers = [
+                buf[off[i] : off[i] + ln[i]] for i in range(self.n)
+            ]
+        return self._headers
+
+    @headers.setter
+    def headers(self, value: List[bytes]) -> None:
+        self._headers = value
+        self.n = len(value)
 
     def __len__(self) -> int:
-        return len(self.headers)
+        return self.n
 
     def sequence_codes(self, seqno: int) -> np.ndarray:
         off = self.offsets[seqno]
@@ -598,11 +621,10 @@ def _db_read_native(p: Parameters, progress: Progress, raw: bytes,
     progress.done()
 
     db = Db()
-    hdr_off_s = hdr_off[order]
-    hdr_len_s = hdr_len[order]
-    db.headers = [
-        raw[hdr_off_s[i] : hdr_off_s[i] + hdr_len_s[i]] for i in range(n)
-    ]
+    db.n = n
+    db.hdr_buffer = buf_arr
+    db.hdr_off = hdr_off[order]
+    db.hdr_len = hdr_len[order]
     db.lengths = seq_len[order].astype(np.int64)
     db.offsets = np.zeros(n, dtype=np.int64)
     if n > 0:

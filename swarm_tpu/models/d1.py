@@ -75,6 +75,11 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
     # --- hashing phase: exact duplicate-sequence check ---
     from .. import _native
 
+    # start the device upload before the host-side hashing phase (the
+    # transfer is asynchronous and rides under it)
+    index = NeighborIndex(db)
+    index.prefetch()
+
     progress.init("Hashing sequences:", n)
     dup_msg = (
         "some fasta entries have identical sequences.\n"
@@ -107,7 +112,6 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
 
     # --- network phase: batched variant hashing + join ---
     progress.init("Building network: ", n)
-    index = NeighborIndex(db)
     edges_from, edges_to = index.build_network(
         p.opt_no_cluster_breaking, abundances
     )
@@ -157,16 +161,14 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
         st.swarmid = swarmid
         st.parent = parent
         st.generation = generation
-        st.swarm_seed = seed_a.tolist()
-        st.swarm_members = [
-            members[bound[i] : bound[i + 1]] for i in range(nswarms)
-        ]
-        st.swarm_mass = mass_a.tolist()
-        st.swarm_sumlen = sumlen_a.tolist()
-        st.swarm_size = size_a.tolist()
-        st.swarm_singletons = singles_a.tolist()
-        st.swarm_maxgen = maxgen_a.tolist()
-        st.swarm_attached = [False] * nswarms
+        st.swarm_seed = seed_a
+        st.swarm_members = None  # built lazily from the flat CSR
+        st.swarm_mass = mass_a
+        st.swarm_sumlen = sumlen_a
+        st.swarm_size = size_a
+        st.swarm_singletons = singles_a
+        st.swarm_maxgen = maxgen_a
+        st.swarm_attached = np.zeros(nswarms, dtype=bool)
         st.flat_members = members
         st.flat_bounds = bound
         largest = int(size_a.max()) if nswarms else 0
@@ -236,6 +238,15 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
     swarmcount_adjusted = swarmcount
 
     return _d1_finish(p, db, progress, st, index, largest, maxgen_all)
+
+
+def _ensure_members(st):
+    """Materialize per-swarm member lists from the flat CSR (needed by
+    the Python writers and the fastidious graft splicing)."""
+    if st.swarm_members is None:
+        m, b = st.flat_members, st.flat_bounds
+        st.swarm_members = [m[b[i] : b[i + 1]] for i in range(len(b) - 1)]
+    return st.swarm_members
 
 
 def _d1_finish(p, db, progress, st, index, largest, maxgen_all):
@@ -402,6 +413,7 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
             st.graft_cand[child] = NO_SWARM
         else:
             heavy = int(st.swarmid[parent])
+            _ensure_members(st)
             merged = list(st.swarm_members[heavy])
             merged.extend(st.swarm_members[child_swarm])
             st.swarm_members[heavy] = merged
@@ -550,6 +562,7 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
         replay_range(progress, swarmcount + 1)
         progress.done()
     elif p.opt_mothur:
+        _ensure_members(st)
         progress.init("Writing swarms:   ", swarmcount)
         out = [f"swarm_{p.opt_differences}\t{swarmcount_adjusted}"]
         for i in range(swarmcount):
@@ -564,6 +577,7 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
         p.outfile.write("".join(out))
         progress.done()
     else:
+        _ensure_members(st)
         progress.init("Writing swarms:   ", swarmcount)
         out = []
         for i in range(swarmcount):
@@ -600,6 +614,7 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
 
     # internal structure
     if p.opt_internal_structure:
+        _ensure_members(st)
         progress.init("Writing structure:", swarmcount)
         out = []
         cluster_no = 0
@@ -628,6 +643,7 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
 
     # uclust
     if p.opt_uclust_file:
+        _ensure_members(st)
         progress.init("Writing UCLUST:   ", swarmcount)
         out = []
         cluster_no = 0

@@ -254,9 +254,22 @@ class NeighborIndex:
         self.lengths = db.lengths.astype(np.int64)
         self.zob = make_zobrist(self.max_len)
         self.backend = os.environ.get("SWARM_TPU_BACKEND", backend)
+        self._engine = None
 
     def seq_hashes(self) -> np.ndarray:
         return sequence_hashes(self.padded, self.lengths, self.zob)
+
+    def prefetch(self) -> None:
+        """Start the (async) device upload early so it overlaps the
+        host phases that run before the network build."""
+        if self._resolve_backend() == "jax":
+            try:
+                from .neighbors_sortjoin import SortJoinNeighborEngine
+
+                self._engine = SortJoinNeighborEngine(self.db)
+                self._engine._device_arrays()  # device_put is async
+            except Exception:
+                self._engine = None
 
     def _resolve_backend(self) -> str:
         if self.backend in ("numpy", "jax", "jax_probe", "jax_shard"):
@@ -289,7 +302,7 @@ class NeighborIndex:
             )
 
             try:
-                engine = SortJoinNeighborEngine(self.db)
+                engine = self._engine or SortJoinNeighborEngine(self.db)
                 return engine.build_network(no_break, abundances)
             except SentinelCollision:
                 pass  # astronomically rare: fall through to host path
