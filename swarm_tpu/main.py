@@ -32,20 +32,35 @@ def run(argv, progname: str) -> int:
 
     progress = Progress(p.logfile, bool(p.opt_log))
 
-    db = db_read(p, progress)
+    # observability: SWARM_TPU_PROFILE_DIR captures a JAX profiler trace
+    # of the whole run (the reference's PROFILE=1 build-mode analog);
+    # SWARM_TPU_TIMING=1 prints per-phase wall times (progress.py)
+    profile_dir = os.environ.get("SWARM_TPU_PROFILE_DIR")
+    if profile_dir:
+        import jax
 
-    if p.opt_differences == 0:
-        from .models.derep import dereplicate
+        jax.profiler.start_trace(profile_dir)
 
-        dereplicate(p, db, progress)
-    elif p.opt_differences == 1:
-        from .models.d1 import algo_d1_run
+    try:
+        db = db_read(p, progress)
 
-        algo_d1_run(p, db, progress)
-    else:
-        from .models.general import algo_run
+        if p.opt_differences == 0:
+            from .models.derep import dereplicate
 
-        algo_run(p, db, progress)
+            dereplicate(p, db, progress)
+        elif p.opt_differences == 1:
+            from .models.d1 import algo_d1_run
+
+            algo_d1_run(p, db, progress)
+        else:
+            from .models.general import algo_run
+
+            algo_run(p, db, progress)
+    finally:
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
 
     close_files(p)
     return 0

@@ -8,9 +8,10 @@ mindiff = (diffbits + 2*5 - 1) / (2*5).
 
 Profiles are stored bit-packed ([n, 16] uint64) and distances computed
 with XOR + popcount (np.bitwise_count) — the same memory layout the
-reference's SIMD loop uses (src/qgram.cc:104-236). The device path
-(ops/qgram_jax.py) keeps an unpacked variant whose seed-vs-pool
-distance maps onto an int8 matmul on the MXU.
+reference's SIMD loop uses (src/qgram.cc:104-236). The per-seed screen
+stays on the host: the d>=2 engine's data dependence makes each screen
+a latency-bound matvec, which the CPU wins; the expensive survivors go
+to the device alignment screen instead (models/general.py).
 """
 
 import numpy as np
