@@ -267,8 +267,17 @@ def _d1_finish(p, db, progress, st, index, largest, maxgen_all):
     p.logfile.write(f"Max generations:   {maxgen_all}\n")
 
 
-def _variant_counts(db: Db, amps: np.ndarray) -> int:
+def _variant_counts(db: Db, amps: np.ndarray, index=None) -> int:
     """Exact number of variants the reference generates: 6L + 4 + runs."""
+    if index is not None and len(amps):
+        # vectorized over the padded code matrix
+        rows = index.padded[amps]
+        lens = index.lengths[amps]
+        width = rows.shape[1]
+        pos = np.arange(width - 1)[None, :]
+        changes = (rows[:, 1:] != rows[:, :-1]) & (pos < (lens - 1)[:, None])
+        runs = np.where(lens > 0, 1 + changes.sum(axis=1), 0)
+        return int((6 * lens + 4 + runs).sum())
     total = 0
     for amp in amps:
         codes = db.sequence_codes(int(amp))
@@ -362,13 +371,13 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
 
     # mark phase (log-compatible progress + exact variant counts)
     progress.init("Adding light swarm amplicons to Bloom filter", amps_small)
-    light_variants = _variant_counts(db, light_amps)
+    light_variants = _variant_counts(db, light_amps, index)
     progress.update(amps_small)
     progress.done()
     log.write(f"Generated {light_variants} variants from light swarms\n")
 
     progress.init("Checking heavy swarm amplicons against Bloom filter", amps_large)
-    heavy_variants = _variant_counts(db, heavy_amps)
+    heavy_variants = _variant_counts(db, heavy_amps, index)
 
     # graft candidates: join heavy variant hashes against light variant
     # hashes; exact verification by comparing reconstructed midpoints.

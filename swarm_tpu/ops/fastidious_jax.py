@@ -219,8 +219,34 @@ class GraftEngine:
             jnp.concatenate(owners), jnp.concatenate(slots),
         )
 
+    #: device-resident light-side key budget (keys ~12 bytes; joins add
+    #: the heavy chunk and the sort's double buffer on top)
+    MAX_LIGHT_KEYS = 120_000_000
+
     def graft_candidates(self, heavy_amps: np.ndarray, light_amps: np.ndarray):
-        """(count, graft_cand[n]) — same contract as models/d1.py:_graft_join."""
+        """(count, graft_cand[n]) — same contract as models/d1.py:_graft_join.
+
+        Very large light sides are processed in strips (each light
+        amplicon belongs to exactly one strip, so per-strip triple
+        counts add and per-light minimum heavy seeds merge disjointly);
+        the heavy side is re-scanned once per strip.
+        """
+        keys_per_amp = 8 * self.width + 4
+        max_light = max(self.CHUNK, self.MAX_LIGHT_KEYS // keys_per_amp)
+        if len(light_amps) > max_light:
+            total = 0
+            graft_cand = np.full(self.n, -1, dtype=np.int64)
+            for start in range(0, len(light_amps), max_light):
+                cnt, cand = self._graft_strip(
+                    heavy_amps, light_amps[start : start + max_light]
+                )
+                total += cnt
+                sel = cand >= 0
+                graft_cand[sel] = cand[sel]
+            return total, graft_cand
+        return self._graft_strip(heavy_amps, light_amps)
+
+    def _graft_strip(self, heavy_amps: np.ndarray, light_amps: np.ndarray):
         graft_cand = np.full(self.n, -1, dtype=np.int64)
         if len(heavy_amps) == 0 or len(light_amps) == 0:
             return 0, graft_cand

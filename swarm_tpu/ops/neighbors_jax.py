@@ -38,8 +38,10 @@ import numpy as np
 import logging
 
 # the CLI's stderr is part of the byte-parity surface; keep backend
-# chatter (e.g. experimental-platform warnings) out of it
+# chatter (experimental-platform warnings, XLA AOT-loader machine
+# feature complaints) out of it
 logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
 
@@ -50,11 +52,18 @@ if os.environ.get("SWARM_TPU_FORCE_PLATFORM"):
 
 # persistent compilation cache: CLI invocations are short-lived processes,
 # so steady-state serving performance depends on XLA executables being
-# reused across runs (~20-40s saved per kernel shape on TPU)
+# reused across runs (~20-40s saved per kernel shape on TPU). CPU-only
+# runs skip it: CPU compiles are fast and XLA's CPU AOT reload logs
+# machine-feature warnings to stderr (a byte-parity surface).
 _CACHE_DIR = os.environ.get(
     "SWARM_TPU_COMPILE_CACHE",
     os.path.expanduser("~/.cache/swarm_tpu/jax_cache"),
 )
+_PLATFORM_HINT = os.environ.get(
+    "SWARM_TPU_FORCE_PLATFORM", os.environ.get("JAX_PLATFORMS", "tpu")
+)
+if _PLATFORM_HINT == "cpu":
+    _CACHE_DIR = None
 if _CACHE_DIR and _CACHE_DIR != "0":
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)

@@ -244,3 +244,74 @@ def test_distributed_sortjoin_matches_numpy():
     assert np.array_equal(ef_np, ef_s)
     assert np.array_equal(et_np, et_s)
     assert len(ef_np) > 0
+
+
+def test_device_graft_strips_match_single_pass():
+    """Strip-processing a large light side gives identical results."""
+    from swarm_tpu.ops.fastidious_jax import GraftEngine
+    from swarm_tpu.ops.neighbors import pad_codes
+    from swarm_tpu.ops.neighbors_jax import _round_up, make_zobrist_pair
+
+    db = _random_db(n=300, min_len=20, max_len=50, seed=5)
+    n = len(db)
+    rng = np.random.Generator(np.random.PCG64(55))
+    light_mask = rng.random(n) < 0.5
+    light_amps = np.nonzero(light_mask)[0]
+    heavy_amps = np.nonzero(~light_mask)[0]
+
+    from swarm_tpu.ops.neighbors import NeighborIndex
+
+    index = NeighborIndex(db, backend="numpy")
+    width = _round_up(index.max_len, 64)
+    padded_w = pad_codes(db.codes, db.offsets, db.lengths, width)
+    eng = GraftEngine(
+        padded_w, db.lengths.astype(np.int32), make_zobrist_pair(width)
+    )
+    c1, g1 = eng.graft_candidates(heavy_amps, light_amps)
+    eng.MAX_LIGHT_KEYS = 1  # force many strips (floor = CHUNK amps)
+    eng.CHUNK = 64
+    c2, g2 = eng.graft_candidates(heavy_amps, light_amps)
+    assert c1 == c2
+    assert np.array_equal(g1, g2)
+    assert c1 > 0
+
+
+def test_sortjoin_window_retry_long_runs():
+    """>window sequences sharing one deletion string must still pair
+    (the run-length overflow check escalates the window)."""
+    from swarm_tpu.db import Db
+    from swarm_tpu.ops.neighbors import NeighborIndex
+    from swarm_tpu.ops.neighbors_sortjoin import SortJoinNeighborEngine
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    base = rng.integers(0, 4, size=40).astype(np.uint8)
+    seqs = [base]
+    # 30 distinct single-insertions of base: all share key hash(base)
+    seen = {base.tobytes()}
+    while len(seqs) < 31:
+        p = int(rng.integers(0, len(base) + 1))
+        b = int(rng.integers(0, 4))
+        v = np.insert(base, p, b)
+        if v.tobytes() not in seen:
+            seen.add(v.tobytes())
+            seqs.append(v)
+
+    n = len(seqs)
+    db = Db()
+    db.headers = [f"s{i}_{n - i}".encode() for i in range(n)]
+    db.codes = np.concatenate(seqs)
+    db.lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    db.offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(db.lengths[:-1], out=db.offsets[1:])
+    db.abundances = np.arange(n, 0, -1).astype(np.int64)
+    db.longest = int(db.lengths.max())
+    db.nucleotides = int(db.lengths.sum())
+
+    ab = db.abundances.astype(np.uint64)
+    ef_np, et_np = NeighborIndex(db, backend="numpy").build_network(False, ab)
+    eng = SortJoinNeighborEngine(db)
+    ef_j, et_j = eng.build_network(False, ab)
+    assert np.array_equal(ef_np, ef_j)
+    assert np.array_equal(et_np, et_j)
+    # all insertions are dist-1 from base: the run is 31 long
+    assert len(ef_np) >= 30

@@ -1,0 +1,76 @@
+"""Moderate-scale randomized byte-parity stress (device backend forced).
+
+The regular parity tests use small corpora; these drive a few thousand
+amplicons through the full CLI with SWARM_TPU_BACKEND=jax (on the CPU
+mesh) and diff every output stream against the reference binary.
+"""
+
+import os
+
+import pytest
+
+from tests.genfasta import amplicon_cloud
+
+
+@pytest.fixture
+def jax_backend():
+    old = os.environ.get("SWARM_TPU_BACKEND")
+    os.environ["SWARM_TPU_BACKEND"] = "jax"
+    yield
+    if old is None:
+        os.environ.pop("SWARM_TPU_BACKEND", None)
+    else:
+        os.environ["SWARM_TPU_BACKEND"] = old
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_stress_d1_all_outputs(both, jax_backend, seed):
+    fasta = amplicon_cloud(
+        seed=seed, n_centers=40, cloud_size=60, length=110, max_edits=2
+    )
+    both.compare(
+        ["-o", "out.txt", "-s", "stats.txt", "-i", "structure.txt",
+         "-w", "seeds.fasta", "-l", "log.txt", "input.fasta"],
+        fasta,
+    )
+
+
+def test_stress_d1_fastidious(both, jax_backend):
+    fasta = amplicon_cloud(
+        seed=303, n_centers=30, cloud_size=25, length=90, max_edits=3
+    )
+    both.compare(
+        ["-f", "-o", "out.txt", "-s", "stats.txt", "-i", "structure.txt",
+         "-l", "log.txt", "input.fasta"],
+        fasta,
+    )
+
+
+def test_stress_d1_usearch_nobreak(both, jax_backend):
+    fasta = amplicon_cloud(
+        seed=404, n_centers=25, cloud_size=30, length=80, usearch=True
+    )
+    both.compare(
+        ["-z", "-n", "-o", "out.txt", "-s", "stats.txt", "-l", "log.txt",
+         "input.fasta"],
+        fasta,
+    )
+
+
+def test_stress_sharded_backend(both):
+    old = os.environ.get("SWARM_TPU_BACKEND")
+    os.environ["SWARM_TPU_BACKEND"] = "jax_shard"
+    try:
+        fasta = amplicon_cloud(
+            seed=505, n_centers=20, cloud_size=40, length=100
+        )
+        both.compare(
+            ["-o", "out.txt", "-s", "stats.txt", "-l", "log.txt",
+             "input.fasta"],
+            fasta,
+        )
+    finally:
+        if old is None:
+            os.environ.pop("SWARM_TPU_BACKEND", None)
+        else:
+            os.environ["SWARM_TPU_BACKEND"] = old
