@@ -134,7 +134,7 @@ def time_ours(fasta: Path, backend: str) -> float:
     if rc != 0:
         raise RuntimeError("swarm_tpu warmup failed")
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         rc = run(argv, "swarm")
         dt = time.perf_counter() - t0

@@ -258,8 +258,23 @@ def join_pairs(
     overflow_run = jnp.sum(over, dtype=jnp.int32)
 
     n_flagged = jnp.sum(anyflag, dtype=jnp.int32)
-    (sel,) = jnp.nonzero(anyflag, size=cap, fill_value=0)
-    # nonzero pads with fill_value — valid selections are the prefix
+    # two-level compaction: flagged elements are sparse, so first select
+    # the 32-element words containing any flag (32x smaller nonzero),
+    # then expand only those words — ~3x faster than one nonzero over M
+    M32 = -(-M // 32) * 32
+    af = jnp.concatenate(
+        [anyflag, jnp.zeros(M32 - M, dtype=bool)]
+    ).reshape(-1, 32)
+    wflag = jnp.any(af, axis=1)
+    n_words = jnp.sum(wflag, dtype=jnp.int32)
+    (wsel,) = jnp.nonzero(wflag, size=cap, fill_value=0)
+    w_picked = jnp.arange(cap, dtype=jnp.int32) < n_words
+    bits = af[wsel] & w_picked[:, None]  # [cap, 32]
+    flat_idx = wsel[:, None] * 32 + jnp.arange(32, dtype=jnp.int32)[None, :]
+    cand = jnp.where(bits, flat_idx, M32).reshape(-1)  # ascending order
+    (sel2,) = jnp.nonzero(cand < M32, size=cap, fill_value=0)
+    sel = jnp.minimum(cand[sel2], M - 1)
+    # valid selections are the prefix (nonzero returns ascending indices)
     picked = jnp.arange(cap, dtype=jnp.int32) < n_flagged
 
     a_col = jnp.where(picked, s_own[sel], -1)  # [cap]
