@@ -379,3 +379,45 @@ def derep_groups(codes, seq_off, seq_len):
     if k < 0:
         raise MemoryError("derep_groups")
     return int(k), group
+
+
+if lib is not None:
+    lib.nw_diffs_batch.restype = None
+    lib.qgram_profiles_native.restype = None
+
+U64 = ctypes.POINTER(ctypes.c_uint64)
+
+
+def nw_diffs_batch(qseq, dseqs, dlens, mismatch, gapopen, gapextend, sat_max):
+    """(scores, diffs, alignlengths) — exact kernel semantics."""
+    B, dlen_max = dseqs.shape
+    qlen = len(qseq)
+    dirs = np.empty(max(dlen_max * qlen, 1), dtype=np.uint8)
+    H = np.empty(max(qlen, 1), dtype=np.int64)
+    E = np.empty(max(qlen, 1), dtype=np.int64)
+    scores = np.empty(B, dtype=np.int64)
+    diffs = np.empty(B, dtype=np.int64)
+    alignlengths = np.empty(B, dtype=np.int64)
+    lib.nw_diffs_batch(
+        _ptr(np.ascontiguousarray(qseq, dtype=np.uint8)), ctypes.c_int64(qlen),
+        _ptr(np.ascontiguousarray(dseqs, dtype=np.uint8)),
+        _ptr(np.ascontiguousarray(dlens, dtype=np.int64)),
+        ctypes.c_int64(dlen_max), ctypes.c_int64(B),
+        ctypes.c_int64(mismatch), ctypes.c_int64(gapopen),
+        ctypes.c_int64(gapextend), ctypes.c_int64(sat_max),
+        _ptr(dirs), _ptr(H), _ptr(E),
+        _ptr(scores), _ptr(diffs), _ptr(alignlengths),
+    )
+    return scores, diffs, alignlengths
+
+
+def qgram_profiles_native(padded, lengths):
+    n, width = padded.shape
+    profiles = np.zeros((n, 16), dtype=np.uint64)
+    lib.qgram_profiles_native(
+        _ptr(np.ascontiguousarray(padded)),
+        _ptr(np.ascontiguousarray(lengths, dtype=np.int64)),
+        ctypes.c_int64(n), ctypes.c_int64(width),
+        profiles.ctypes.data_as(U64),
+    )
+    return profiles

@@ -880,3 +880,125 @@ int64_t derep_groups(const uint8_t *codes, const int64_t *seq_off,
   free(slots);
   return nclusters;
 }
+
+/* ------------------------------------------------------------------ */
+/* exact batched cost-space NW with direction bits + backtrack         */
+/* (the reference's hot kernel, src/search8/16.cc semantics; mirrors   */
+/* swarm_tpu/ops/search.py bit-for-bit)                                */
+/* ------------------------------------------------------------------ */
+
+/* One query vs B targets. dirs is caller scratch [dlen_max * qlen].
+ * Hbuf/Ebuf are caller scratch [qlen]. sat_max: 255 or 65535; scores
+ * >= sat_max are rejected with diff = sat_max, alignlength = 0. */
+void nw_diffs_batch(const uint8_t *qseq, int64_t qlen, const uint8_t *dseqs,
+                    const int64_t *dlens, int64_t dlen_max, int64_t B,
+                    int64_t mismatch, int64_t go, int64_t ge,
+                    int64_t sat_max, uint8_t *dirs, int64_t *Hbuf,
+                    int64_t *Ebuf, int64_t *scores, int64_t *diffs,
+                    int64_t *alignlengths) {
+  const int64_t Q = go + ge;
+  const int64_t R = ge;
+  for (int64_t b = 0; b < B; b++) {
+    const uint8_t *dseq = dseqs + b * dlen_max;
+    int64_t dlen = dlens[b];
+    for (int64_t i = 0; i < qlen; i++) {
+      Hbuf[i] = Q + i * R;
+      Ebuf[i] = 2 * Q + i * R;
+    }
+    int64_t score = 0;
+    for (int64_t row = 0; row < dlen; row++) {
+      uint8_t dch = dseq[row];
+      int64_t diag_boundary = row == 0 ? 0 : go + row * ge;
+      int64_t F = 2 * go + (row + 2) * ge; /* F_in[0] */
+      int64_t prev_H = 0;
+      uint8_t *dirrow = dirs + row * qlen;
+      for (int64_t i = 0; i < qlen; i++) {
+        int64_t diag_in = i == 0 ? diag_boundary : prev_H;
+        int64_t diag = diag_in + (dch == qseq[i] ? 0 : mismatch);
+        int64_t E_in = Ebuf[i];
+        int64_t pre = diag < E_in ? diag : E_in;
+        int64_t Hnew = pre < F ? pre : F;
+
+        uint8_t bits = 0;
+        if (diag <= F)
+          bits |= 1; /* BIT_UP */
+        {
+          int64_t m = diag < F ? diag : F;
+          if (E_in <= m)
+            bits |= 2; /* BIT_LEFT */
+        }
+        int64_t hq = Hnew + Q;
+        if (hq <= F + R)
+          bits |= 4; /* BIT_EXTUP */
+        if (hq <= E_in + R)
+          bits |= 8; /* BIT_EXTLEFT */
+        dirrow[i] = bits;
+
+        prev_H = Hbuf[i];
+        Hbuf[i] = Hnew;
+        Ebuf[i] = hq < E_in + R ? hq : E_in + R;
+        /* F_in[i+1] = min(F_in[i] + R, pre[i] + Q) */
+        int64_t openF = pre + Q;
+        F = F + R < openF ? F + R : openF;
+      }
+      if (row + 1 == dlen)
+        score = Hbuf[qlen - 1];
+    }
+    scores[b] = score;
+    if (score >= sat_max) {
+      diffs[b] = sat_max;
+      alignlengths[b] = 0;
+      continue;
+    }
+    /* backtrack along the tie-broken optimal path */
+    {
+      int64_t column = qlen - 1, row = dlen - 1;
+      int64_t aligned = 0, matches = 0;
+      int op = 0;
+      while (column >= 0 && row >= 0) {
+        aligned++;
+        uint8_t cell = dirs[row * qlen + column];
+        if (op == 1 && !(cell & 8)) {
+          row--;
+        } else if (op == 2 && !(cell & 4)) {
+          column--;
+        } else if (cell & 2) {
+          row--;
+          op = 1;
+        } else if (!(cell & 1)) {
+          column--;
+          op = 2;
+        } else {
+          if (qseq[column] == dseq[row])
+            matches++;
+          column--;
+          row--;
+          op = 3;
+        }
+      }
+      aligned += column + 1 + row + 1;
+      diffs[b] = aligned - matches;
+      alignlengths[b] = aligned;
+    }
+  }
+}
+
+/* ------------------------------------------------------------------ */
+/* qgram parity profiles (reference src/qgram.cc:68-96)                */
+/* ------------------------------------------------------------------ */
+
+/* profiles: [n, 16] uint64, zeroed by caller. */
+void qgram_profiles_native(const uint8_t *padded, const int64_t *lengths,
+                           int64_t n, int64_t width, uint64_t *profiles) {
+  for (int64_t s = 0; s < n; s++) {
+    const uint8_t *row = padded + s * width;
+    uint64_t *prof = profiles + s * 16;
+    int64_t len = lengths[s];
+    unsigned qgram = 0;
+    for (int64_t p = 0; p < len; p++) {
+      qgram = ((qgram << 2) | row[p]) & 1023;
+      if (p >= 4)
+        prof[qgram >> 6] ^= 1ULL << (qgram & 63);
+    }
+  }
+}

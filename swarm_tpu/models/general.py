@@ -100,7 +100,26 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
             diffs[surv] = _exact_diffs(seed_id, target_ids[surv])
         return diffs
 
-    amps: List[Amp] = [Amp(i) for i in range(n)]
+    # ordering state as parallel arrays (the reference's in-place
+    # partitioned amplicon array, src/algo.cc:329-708); pool scans are
+    # vectorized instead of per-element loops
+    order = np.arange(n, dtype=np.int64)       # ampliconid per position
+    diffest = np.zeros(n, dtype=np.int64)
+    swarmid_arr = np.zeros(n, dtype=np.int64)
+    gen_arr = np.zeros(n, dtype=np.int64)
+    rad_arr = np.zeros(n, dtype=np.int64)
+    _state = (order, diffest, swarmid_arr, gen_arr, rad_arr)
+
+    def rotate(target: int, pos: int) -> None:
+        """Move position target to pos (pos <= target), shifting
+        [pos, target) right — the reference's memmove rotation."""
+        if target == pos:
+            return
+        for arr in _state:
+            tmp = arr[target]
+            seg = arr[pos:target].copy()
+            arr[pos + 1 : target + 1] = seg
+            arr[pos] = tmp
 
     structure_out = []
     uclust_out = []
@@ -125,8 +144,8 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
 
         seedindex = seeded
         seeded += 1
-        amps[seedindex].swarmid = swarmid
-        seedampliconid = amps[seedindex].ampliconid
+        swarmid_arr[seedindex] = swarmid
+        seedampliconid = int(order[seedindex])
         hits.append(seedampliconid)
 
         abundance = int(abundances[seedampliconid])
@@ -135,28 +154,23 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
             singletons += 1
         swarmed += 1
 
-        # gen-1 candidates: whole remaining pool (abundance rule)
-        pool_ids = np.array(
-            [
-                a.ampliconid
-                for a in amps[swarmed:]
-                if p.opt_no_cluster_breaking
-                or abundances[a.ampliconid] <= abundance
-            ],
-            dtype=np.int64,
-        )
+        # gen-1 candidates: whole remaining pool (abundance rule; the
+        # pool region stays abundance-sorted, so the rule never filters
+        # here — kept for exactness with -n semantics)
+        pool_slice = order[swarmed:]
+        if p.opt_no_cluster_breaking:
+            pool_ids = pool_slice
+        else:
+            pool_ids = pool_slice[abundances[pool_slice] <= abundance]
         qdiffs = qgram_mindiff(profiles, seedampliconid, pool_ids)
 
-        targetindices = []
-        targetampliconids = []
-        for i, poolampliconid in enumerate(pool_ids):
-            amps[swarmed + i].diffestimate = int(qdiffs[i])
-            if qdiffs[i] <= d:
-                targetindices.append(swarmed + i)
-                targetampliconids.append(int(poolampliconid))
+        diffest[swarmed : swarmed + len(pool_ids)] = qdiffs
+        hit_rel = np.nonzero(qdiffs <= d)[0]
+        targetindices = (swarmed + hit_rel).tolist()
+        targetampliconids = pool_ids[hit_rel].astype(np.int64)
 
         if targetindices:
-            diffs = aligner(seedampliconid, np.array(targetampliconids, dtype=np.int64))
+            diffs = aligner(seedampliconid, targetampliconids)
 
             for t_id in range(len(targetampliconids)):
                 diff = int(diffs[t_id])
@@ -165,13 +179,12 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
                 target = targetindices[t_id]
                 # rotate target to the first unswarmed position
                 if target > swarmed:
-                    amps.insert(swarmed, amps.pop(target))
-                entry = amps[swarmed]
-                entry.swarmid = swarmid
-                entry.generation = 1
-                entry.radius = diff
+                    rotate(target, swarmed)
+                swarmid_arr[swarmed] = swarmid
+                gen_arr[swarmed] = 1
+                rad_arr[swarmed] = diff
                 maxradius = max(maxradius, diff)
-                poolampliconid = entry.ampliconid
+                poolampliconid = int(order[swarmed])
                 hits.append(poolampliconid)
 
                 if p.opt_internal_structure:
@@ -189,37 +202,28 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
                 swarmed += 1
 
             while seeded < swarmed:
-                subseed = amps[seeded]
+                subseed_pos = seeded
+                subseed_amp = int(order[subseed_pos])
+                subseed_radius = int(rad_arr[subseed_pos])
+                subseed_generation = int(gen_arr[subseed_pos])
                 seeded += 1
 
-                subseedabundance = int(abundances[subseed.ampliconid])
-                sub_ids = []
-                sub_indices = []
-                for i in range(swarmed, n):
-                    targetampliconid = amps[i].ampliconid
-                    if amps[i].diffestimate <= subseed.radius + d and (
-                        p.opt_no_cluster_breaking
-                        or abundances[targetampliconid] <= subseedabundance
-                    ):
-                        sub_ids.append(targetampliconid)
-                        sub_indices.append(i)
+                subseedabundance = int(abundances[subseed_amp])
+                mask = diffest[swarmed:] <= subseed_radius + d
+                if not p.opt_no_cluster_breaking:
+                    mask &= abundances[order[swarmed:]] <= subseedabundance
+                sub_rel = np.nonzero(mask)[0]
+                sub_ids = order[swarmed + sub_rel]
 
-                qdiffs2 = qgram_mindiff(
-                    profiles, subseed.ampliconid, np.array(sub_ids, dtype=np.int64)
-                )
-                targetindices = []
-                targetampliconids = []
-                for i in range(len(sub_ids)):
-                    if qdiffs2[i] <= d:
-                        targetindices.append(sub_indices[i])
-                        targetampliconids.append(sub_ids[i])
+                qdiffs2 = qgram_mindiff(profiles, subseed_amp, sub_ids)
+                hit_rel = np.nonzero(qdiffs2 <= d)[0]
+                targetindices = (swarmed + sub_rel[hit_rel]).tolist()
+                targetampliconids = sub_ids[hit_rel].astype(np.int64)
 
-                if not targetindices:
+                if not len(targetindices):
                     continue
 
-                diffs = aligner(
-                    subseed.ampliconid, np.array(targetampliconids, dtype=np.int64)
-                )
+                diffs = aligner(subseed_amp, targetampliconids)
 
                 for t_id in range(len(targetampliconids)):
                     diff = int(diffs[t_id])
@@ -230,31 +234,30 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
                     # find correct position: keep the newest generation
                     # ordered by amplicon id (src/algo.cc:205-219)
                     pos = swarmed
-                    targetampliconid = amps[target].ampliconid
+                    targetampliconid = int(order[target])
                     while (
                         pos > seeded
-                        and amps[pos - 1].ampliconid > targetampliconid
-                        and amps[pos - 1].generation > subseed.generation
+                        and order[pos - 1] > targetampliconid
+                        and gen_arr[pos - 1] > subseed_generation
                     ):
                         pos -= 1
 
                     if target > pos:
-                        amps.insert(pos, amps.pop(target))
-                    entry = amps[pos]
-                    entry.swarmid = swarmid
-                    entry.generation = subseed.generation + 1
-                    maxgen = max(maxgen, entry.generation)
-                    entry.radius = subseed.radius + diff
-                    maxradius = max(maxradius, entry.radius)
+                        rotate(target, pos)
+                    swarmid_arr[pos] = swarmid
+                    gen_arr[pos] = subseed_generation + 1
+                    maxgen = max(maxgen, subseed_generation + 1)
+                    rad_arr[pos] = subseed_radius + diff
+                    maxradius = max(maxradius, subseed_radius + diff)
 
-                    poolampliconid = entry.ampliconid
+                    poolampliconid = int(order[pos])
                     hits.append(poolampliconid)
 
                     if p.opt_internal_structure:
                         structure_out.append(
-                            f"{db.print_id_noabundance(subseed.ampliconid, ua)}\t"
+                            f"{db.print_id_noabundance(subseed_amp, ua)}\t"
                             f"{db.print_id_noabundance(poolampliconid, ua)}\t"
-                            f"{diff}\t{swarmid}\t{subseed.generation + 1}\n"
+                            f"{diff}\t{swarmid}\t{subseed_generation + 1}\n"
                         )
 
                     abundance = int(abundances[poolampliconid])
@@ -311,28 +314,28 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
         out = []
         if p.opt_mothur:
             out.append(f"swarm_{p.opt_differences}\t{swarmid}\t")
-            previous_id = amps[0].swarmid
-            out.append(db.print_id(amps[0].ampliconid, ua, aa))
+            previous_id = swarmid_arr[0]
+            out.append(db.print_id(int(order[0]), ua, aa))
             for i in range(1, n):
-                current_id = amps[i].swarmid
+                current_id = swarmid_arr[i]
                 out.append("," if current_id == previous_id else "\t")
-                out.append(db.print_id(amps[i].ampliconid, ua, aa))
+                out.append(db.print_id(int(order[i]), ua, aa))
                 previous_id = current_id
             out.append("\n")
         else:
-            previous_id = amps[0].swarmid
-            out.append(db.print_id(amps[0].ampliconid, ua, aa))
+            previous_id = swarmid_arr[0]
+            out.append(db.print_id(int(order[0]), ua, aa))
             for i in range(1, n):
-                current_id = amps[i].swarmid
+                current_id = swarmid_arr[i]
                 out.append(" " if current_id == previous_id else "\n")
-                out.append(db.print_id(amps[i].ampliconid, ua, aa))
+                out.append(db.print_id(int(order[i]), ua, aa))
                 previous_id = current_id
             out.append("\n")
         p.outfile.write("".join(out))
 
     # seeds
     if p.opt_seeds and n != 0:
-        _write_seeds(p, db, progress, amps, n)
+        _write_seeds(p, db, progress, order, swarmid_arr, n)
 
     p.logfile.write("\n")
     p.logfile.write(f"Number of swarms:  {swarmid}\n")
@@ -340,7 +343,7 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
     p.logfile.write(f"Max generations:   {maxgenerations}\n")
 
 
-def _write_seeds(p, db, progress, amps, n):
+def _write_seeds(p, db, progress, order, swarmid_arr, n):
     """Collect per-swarm seeds+mass, sort, write (src/algo.cc:123-202).
 
     The reference's tie comparator tests `strcmp(...) == -1`, which with
@@ -355,16 +358,16 @@ def _write_seeds(p, db, progress, amps, n):
     progress.init("Collecting seeds:    ", n)
     seeds = []
     mass = 0
-    previous_id = amps[0].swarmid
-    seed = amps[0].ampliconid
+    previous_id = swarmid_arr[0]
+    seed = int(order[0])
     mass += int(db.abundances[seed])
     for i in range(1, n):
-        current_id = amps[i].swarmid
+        current_id = swarmid_arr[i]
         if current_id != previous_id:
             seeds.append((seed, mass))
             mass = 0
-            seed = amps[i].ampliconid
-        mass += int(db.abundances[amps[i].ampliconid])
+            seed = int(order[i])
+        mass += int(db.abundances[int(order[i])])
         previous_id = current_id
         progress.update(i)
     seeds.append((seed, mass))

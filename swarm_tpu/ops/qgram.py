@@ -23,9 +23,13 @@ WORDS = VECTOR_BITS // 64
 
 def qgram_profiles(padded: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """[n, 16] uint64 bit-packed parity profiles."""
+    from .. import _native
+
     n, max_len = padded.shape
     if n == 0 or max_len < QGRAM_LENGTH:
         return np.zeros((n, WORDS), dtype=np.uint64)
+    if _native.available():
+        return _native.qgram_profiles_native(padded, lengths)
     codes = padded.astype(np.int64)
     # value at position p (p >= 4): low 10 bits of the rolling 5-mer
     vals = np.zeros((n, max_len), dtype=np.int64)

@@ -49,8 +49,15 @@ def search_diffs(
     Returns (scores, diffs, alignment_lengths), with diff = saturation
     max when score saturates (reference: src/search8.cc:792-805).
     """
+    from .. import _native
+
     B, max_dlen = target_rows.shape
     qlen = len(qseq)
+    if _native.available() and B > 0 and qlen > 0:
+        sat = 255 if bit_mode == 8 else 65535
+        return _native.nw_diffs_batch(
+            qseq, target_rows, target_lens, mismatch, gapopen, gapextend, sat
+        )
     Q = np.int64(gapopen + gapextend)
     R = np.int64(gapextend)
     go = np.int64(gapopen)
