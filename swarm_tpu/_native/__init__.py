@@ -421,3 +421,44 @@ def qgram_profiles_native(padded, lengths):
         profiles.ctypes.data_as(U64),
     )
     return profiles
+
+
+if lib is not None:
+    lib.d2_gen1_screen.restype = ctypes.c_int64
+    lib.d2_subseed_screen.restype = ctypes.c_int64
+
+
+def d2_gen1_screen(profiles, order, abundances, diffest, swarmed,
+                   seed_amp, seed_ab, no_break, d):
+    """(hit_positions, hit_ids, n_pool) — writes qgram bounds into
+    diffest[swarmed:swarmed+n_pool] in filtered pool order."""
+    n = len(order)
+    cap = max(n - swarmed, 1)
+    out_pos = np.empty(cap, dtype=np.int64)
+    out_ids = np.empty(cap, dtype=np.int64)
+    n_pool = np.zeros(1, dtype=np.int64)
+    hits = lib.d2_gen1_screen(
+        profiles.ctypes.data_as(U64), _ptr(order), _ptr(abundances),
+        _ptr(diffest), ctypes.c_int64(swarmed), ctypes.c_int64(n),
+        ctypes.c_int64(seed_amp), ctypes.c_int64(seed_ab),
+        ctypes.c_int(1 if no_break else 0), ctypes.c_int64(d),
+        _ptr(out_pos), _ptr(out_ids), _ptr(n_pool),
+    )
+    return out_pos[:hits], out_ids[:hits], int(n_pool[0])
+
+
+def d2_subseed_screen(profiles, order, abundances, diffest, swarmed,
+                      subseed_amp, bound, subseed_ab, no_break, d):
+    """(hit_positions, hit_ids) for one subseed."""
+    n = len(order)
+    cap = max(n - swarmed, 1)
+    out_pos = np.empty(cap, dtype=np.int64)
+    out_ids = np.empty(cap, dtype=np.int64)
+    hits = lib.d2_subseed_screen(
+        profiles.ctypes.data_as(U64), _ptr(order), _ptr(abundances),
+        _ptr(diffest), ctypes.c_int64(swarmed), ctypes.c_int64(n),
+        ctypes.c_int64(subseed_amp), ctypes.c_int64(bound),
+        ctypes.c_int64(subseed_ab), ctypes.c_int(1 if no_break else 0),
+        ctypes.c_int64(d), _ptr(out_pos), _ptr(out_ids),
+    )
+    return out_pos[:hits], out_ids[:hits]

@@ -1002,3 +1002,67 @@ void qgram_profiles_native(const uint8_t *padded, const int64_t *lengths,
     }
   }
 }
+
+/* ------------------------------------------------------------------ */
+/* d>=2 per-(sub)seed candidate screens (reference src/algo.cc:384-531,*/
+/* src/qgram.cc:239-264) — pool scan + qgram lower bound in one pass   */
+/* ------------------------------------------------------------------ */
+
+static inline int64_t qgram_mindiff_one(const uint64_t *a, const uint64_t *b) {
+  int64_t bits = 0;
+  for (int w = 0; w < 16; w++)
+    bits += __builtin_popcountll(a[w] ^ b[w]);
+  return (bits + 9) / 10; /* ceil(diffbits / (2*qgram_len)) */
+}
+
+/* Gen-1 screen: walk the pool, apply the abundance rule, store the
+ * qgram bound per (filtered) pool slot, record survivors <= d.
+ * Returns the survivor count; n_pool_out gets the filtered pool size. */
+int64_t d2_gen1_screen(const uint64_t *profiles, const int64_t *order,
+                       const int64_t *abundances, int64_t *diffest,
+                       int64_t swarmed, int64_t n, int64_t seed_amp,
+                       int64_t seed_ab, int no_break, int64_t d,
+                       int64_t *out_positions, int64_t *out_ids,
+                       int64_t *n_pool_out) {
+  const uint64_t *seed_prof = profiles + seed_amp * 16;
+  int64_t k = 0, hits = 0;
+  for (int64_t i = swarmed; i < n; i++) {
+    int64_t amp = order[i];
+    if (!no_break && abundances[amp] > seed_ab)
+      continue;
+    int64_t md = qgram_mindiff_one(seed_prof, profiles + amp * 16);
+    diffest[swarmed + k] = md;
+    if (md <= d) {
+      out_positions[hits] = swarmed + k;
+      out_ids[hits] = amp;
+      hits++;
+    }
+    k++;
+  }
+  *n_pool_out = k;
+  return hits;
+}
+
+/* Subseed screen: diffestimate bound + abundance rule + qgram bound. */
+int64_t d2_subseed_screen(const uint64_t *profiles, const int64_t *order,
+                          const int64_t *abundances, const int64_t *diffest,
+                          int64_t swarmed, int64_t n, int64_t subseed_amp,
+                          int64_t bound, int64_t subseed_ab, int no_break,
+                          int64_t d, int64_t *out_positions,
+                          int64_t *out_ids) {
+  const uint64_t *sub_prof = profiles + subseed_amp * 16;
+  int64_t hits = 0;
+  for (int64_t i = swarmed; i < n; i++) {
+    if (diffest[i] > bound)
+      continue;
+    int64_t amp = order[i];
+    if (!no_break && abundances[amp] > subseed_ab)
+      continue;
+    if (qgram_mindiff_one(sub_prof, profiles + amp * 16) <= d) {
+      out_positions[hits] = i;
+      out_ids[hits] = amp;
+      hits++;
+    }
+  }
+  return hits;
+}

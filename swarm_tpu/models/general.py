@@ -109,6 +109,9 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
     gen_arr = np.zeros(n, dtype=np.int64)
     rad_arr = np.zeros(n, dtype=np.int64)
     _state = (order, diffest, swarmid_arr, gen_arr, rad_arr)
+    ab_i64 = np.ascontiguousarray(abundances, dtype=np.int64)
+
+    from .. import _native
 
     def rotate(target: int, pos: int) -> None:
         """Move position target to pos (pos <= target), shifting
@@ -157,17 +160,25 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
         # gen-1 candidates: whole remaining pool (abundance rule; the
         # pool region stays abundance-sorted, so the rule never filters
         # here — kept for exactness with -n semantics)
-        pool_slice = order[swarmed:]
-        if p.opt_no_cluster_breaking:
-            pool_ids = pool_slice
+        if _native.available():
+            t_pos, t_ids, _ = _native.d2_gen1_screen(
+                profiles, order, ab_i64, diffest, swarmed,
+                seedampliconid, abundance, p.opt_no_cluster_breaking, d,
+            )
+            targetindices = t_pos.tolist()
+            targetampliconids = t_ids
         else:
-            pool_ids = pool_slice[abundances[pool_slice] <= abundance]
-        qdiffs = qgram_mindiff(profiles, seedampliconid, pool_ids)
+            pool_slice = order[swarmed:]
+            if p.opt_no_cluster_breaking:
+                pool_ids = pool_slice
+            else:
+                pool_ids = pool_slice[abundances[pool_slice] <= abundance]
+            qdiffs = qgram_mindiff(profiles, seedampliconid, pool_ids)
 
-        diffest[swarmed : swarmed + len(pool_ids)] = qdiffs
-        hit_rel = np.nonzero(qdiffs <= d)[0]
-        targetindices = (swarmed + hit_rel).tolist()
-        targetampliconids = pool_ids[hit_rel].astype(np.int64)
+            diffest[swarmed : swarmed + len(pool_ids)] = qdiffs
+            hit_rel = np.nonzero(qdiffs <= d)[0]
+            targetindices = (swarmed + hit_rel).tolist()
+            targetampliconids = pool_ids[hit_rel].astype(np.int64)
 
         if targetindices:
             diffs = aligner(seedampliconid, targetampliconids)
@@ -209,16 +220,25 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
                 seeded += 1
 
                 subseedabundance = int(abundances[subseed_amp])
-                mask = diffest[swarmed:] <= subseed_radius + d
-                if not p.opt_no_cluster_breaking:
-                    mask &= abundances[order[swarmed:]] <= subseedabundance
-                sub_rel = np.nonzero(mask)[0]
-                sub_ids = order[swarmed + sub_rel]
+                if _native.available():
+                    t_pos, t_ids = _native.d2_subseed_screen(
+                        profiles, order, ab_i64, diffest, swarmed,
+                        subseed_amp, subseed_radius + d, subseedabundance,
+                        p.opt_no_cluster_breaking, d,
+                    )
+                    targetindices = t_pos.tolist()
+                    targetampliconids = t_ids
+                else:
+                    mask = diffest[swarmed:] <= subseed_radius + d
+                    if not p.opt_no_cluster_breaking:
+                        mask &= abundances[order[swarmed:]] <= subseedabundance
+                    sub_rel = np.nonzero(mask)[0]
+                    sub_ids = order[swarmed + sub_rel]
 
-                qdiffs2 = qgram_mindiff(profiles, subseed_amp, sub_ids)
-                hit_rel = np.nonzero(qdiffs2 <= d)[0]
-                targetindices = (swarmed + sub_rel[hit_rel]).tolist()
-                targetampliconids = sub_ids[hit_rel].astype(np.int64)
+                    qdiffs2 = qgram_mindiff(profiles, subseed_amp, sub_ids)
+                    hit_rel = np.nonzero(qdiffs2 <= d)[0]
+                    targetindices = (swarmed + sub_rel[hit_rel]).tolist()
+                    targetampliconids = sub_ids[hit_rel].astype(np.int64)
 
                 if not len(targetindices):
                     continue
