@@ -250,11 +250,29 @@ class NeighborIndex:
         self.db = db
         n = len(db)
         self.max_len = max(int(db.longest), 1)
-        self.padded = pad_codes(db.codes, db.offsets, db.lengths, self.max_len)
         self.lengths = db.lengths.astype(np.int64)
-        self.zob = make_zobrist(self.max_len)
         self.backend = os.environ.get("SWARM_TPU_BACKEND", backend)
         self._engine = None
+        self._padded = None
+        self._zob = None
+
+    # the numpy fallback / fastidious machinery needs these; the device
+    # engines build their own — keep them lazy so the fast path skips
+    # the host-side construction entirely
+    @property
+    def padded(self) -> np.ndarray:
+        if self._padded is None:
+            db = self.db
+            self._padded = pad_codes(
+                db.codes, db.offsets, db.lengths, self.max_len
+            )
+        return self._padded
+
+    @property
+    def zob(self) -> np.ndarray:
+        if self._zob is None:
+            self._zob = make_zobrist(self.max_len)
+        return self._zob
 
     def seq_hashes(self) -> np.ndarray:
         return sequence_hashes(self.padded, self.lengths, self.zob)
