@@ -15,7 +15,7 @@ from .getopt_gnu import (
     getopt_long,
 )
 from .messages import HEADER_MESSAGE, USAGE_MESSAGE
-from .params import Parameters, set_alignment_scoring_system
+from .params import Parameters
 
 SHORT_OPTIONS = "a:b:c:d:e:fg:hi:j:l:m:no:p:rs:t:u:vw:xy:z"
 

@@ -23,12 +23,7 @@ import numpy as np
 
 from ..db import Db
 from ..fatal import ERROR_PREFIX, fatal
-from ..ops.neighbors import (
-    NeighborIndex,
-    variant_hashes,
-    verify_candidates,
-    _join,
-)
+from ..ops.neighbors import NeighborIndex, variant_hashes, _join
 from ..ops.nw_scalar import nw
 from ..params import Parameters
 from ..progress import Progress

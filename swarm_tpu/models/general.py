@@ -11,7 +11,6 @@ member output order.
 """
 
 import os
-from typing import List
 
 import numpy as np
 
@@ -22,17 +21,6 @@ from ..ops.qgram import qgram_mindiff, qgram_profiles
 from ..ops.search import search_diffs, set_bit_mode
 from ..params import Parameters
 from ..progress import Progress
-
-
-class Amp:
-    __slots__ = ("ampliconid", "diffestimate", "swarmid", "generation", "radius")
-
-    def __init__(self, ampliconid: int):
-        self.ampliconid = ampliconid
-        self.diffestimate = 0
-        self.swarmid = 0
-        self.generation = 0
-        self.radius = 0
 
 
 def algo_run(p: Parameters, db: Db, progress: Progress) -> None:

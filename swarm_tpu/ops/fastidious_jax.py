@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .neighbors_jax import _OTHER3_TABLE, _round_up, variant_hash_halves
+from .neighbors_jax import _OTHER3_TABLE, variant_hash_halves
 
 
 def _decode_slots(slot, W, padded_rows):
@@ -219,30 +219,40 @@ class GraftEngine:
             jnp.concatenate(owners), jnp.concatenate(slots),
         )
 
-    #: device-resident light-side key budget (keys ~12 bytes; joins add
-    #: the heavy chunk and the sort's double buffer on top)
-    MAX_LIGHT_KEYS = 120_000_000
+    #: device-resident table-side key budget (keys ~12 bytes; joins add
+    #: the streamed chunk and the sort's double buffer on top)
+    MAX_TABLE_KEYS = 120_000_000
 
     def graft_candidates(self, heavy_amps: np.ndarray, light_amps: np.ndarray):
         """(count, graft_cand[n]) — same contract as models/d1.py:_graft_join.
 
-        Very large light sides are processed in strips (each light
-        amplicon belongs to exactly one strip, so per-strip triple
-        counts add and per-light minimum heavy seeds merge disjointly);
-        the heavy side is re-scanned once per strip.
+        The smaller side is tabled on device and the bigger side is
+        streamed in chunks (the join is symmetric; pair orientation
+        comes from the side flags). Very large table sides are further
+        processed in strips: triple counts add across strips (each
+        tabled amplicon belongs to exactly one) and per-light heavy
+        minima merge with an element-wise min.
         """
         keys_per_amp = 8 * self.width + 4
-        max_light = max(self.CHUNK, self.MAX_LIGHT_KEYS // keys_per_amp)
-        if len(light_amps) > max_light:
+        max_table = max(self.CHUNK, self.MAX_TABLE_KEYS // keys_per_amp)
+        table_is_heavy = len(heavy_amps) < len(light_amps)
+        table_amps = heavy_amps if table_is_heavy else light_amps
+        if len(table_amps) > max_table:
             total = 0
             graft_cand = np.full(self.n, -1, dtype=np.int64)
-            for start in range(0, len(light_amps), max_light):
-                cnt, cand = self._graft_strip(
-                    heavy_amps, light_amps[start : start + max_light]
-                )
+            for start in range(0, len(table_amps), max_table):
+                strip = table_amps[start : start + max_table]
+                if table_is_heavy:
+                    cnt, cand = self._graft_strip(strip, light_amps)
+                else:
+                    cnt, cand = self._graft_strip(heavy_amps, strip)
                 total += cnt
-                sel = cand >= 0
-                graft_cand[sel] = cand[sel]
+                both = (graft_cand >= 0) & (cand >= 0)
+                graft_cand = np.where(
+                    both,
+                    np.minimum(graft_cand, cand),
+                    np.where(cand >= 0, cand, graft_cand),
+                )
             return total, graft_cand
         return self._graft_strip(heavy_amps, light_amps)
 
@@ -251,26 +261,33 @@ class GraftEngine:
         if len(heavy_amps) == 0 or len(light_amps) == 0:
             return 0, graft_cand
 
-        l_hi, l_lo, l_own, l_slot = self._side_keys(light_amps)
-        l_side = jnp.zeros(l_hi.shape[0], dtype=jnp.int32)
+        if len(heavy_amps) < len(light_amps):
+            table_amps, table_side_val = heavy_amps, 1
+            chunk_amps, chunk_side_val = light_amps, 0
+        else:
+            table_amps, table_side_val = light_amps, 0
+            chunk_amps, chunk_side_val = heavy_amps, 1
+
+        tb_hi, tb_lo, tb_own, tb_slot = self._side_keys(table_amps)
+        tb_side = jnp.full(tb_hi.shape[0], table_side_val, dtype=jnp.int32)
 
         total = 0
         all_h, all_l = [], []
         C = self.CHUNK
-        for start in range(0, len(heavy_amps), C):
-            sel = heavy_amps[start : start + C]
+        for start in range(0, len(chunk_amps), C):
+            sel = chunk_amps[start : start + C]
             ids = np.full(C, -1, dtype=np.int32)
             ids[: len(sel)] = sel
-            h_hi, h_lo, h_own, h_slot = variant_keys_chunk(
+            c_hi, c_lo, c_own, c_slot = variant_keys_chunk(
                 self.padded, self.lengths, self.zob, jnp.asarray(ids),
                 chunk_rows=C,
             )
-            t_hi = jnp.concatenate([l_hi, h_hi])
-            t_lo = jnp.concatenate([l_lo, h_lo])
-            t_own = jnp.concatenate([l_own, h_own])
-            t_slot = jnp.concatenate([l_slot, h_slot])
+            t_hi = jnp.concatenate([tb_hi, c_hi])
+            t_lo = jnp.concatenate([tb_lo, c_lo])
+            t_own = jnp.concatenate([tb_own, c_own])
+            t_slot = jnp.concatenate([tb_slot, c_slot])
             t_side = jnp.concatenate(
-                [l_side, jnp.ones(h_hi.shape[0], dtype=jnp.int32)]
+                [tb_side, jnp.full(c_hi.shape[0], chunk_side_val, jnp.int32)]
             )
 
             cap = 1 << 16

@@ -30,7 +30,7 @@ byte-identical to the numpy path's.
 """
 
 import os
-from functools import partial
+
 from typing import Tuple
 
 import numpy as np

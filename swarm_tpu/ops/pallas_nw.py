@@ -21,7 +21,6 @@ keeps the band state resident in VMEM across all rows (the jnp/XLA
 scan version writes its carry back to HBM every row).
 """
 
-from functools import partial
 
 import numpy as np
 
