@@ -4,26 +4,24 @@ A light amplicon l grafts onto the smallest heavy amplicon h with
 dist(h, l) <= 2, discovered through a shared *microvariant midpoint* m
 with dist(h, m) = dist(m, l) = 1. The reference realizes this as a
 Bloom filter of light microvariant hashes probed by heavy gen-1/gen-2
-variants (src/algod1.cc:374-552); here the same relation is ONE
-sort-join between the microvariant hash sets of the two sides:
+variants (src/algod1.cc:374-552). The device pipeline keeps exactly that
+asymmetry, TPU-shaped:
 
-  triple (h, m, l) exists  <=>  variant-hash tables of h and l share m.
+  1. the SMALLER of the two sides is tabled: its variant-hash keys are
+     sorted once ((hi, lo) uint32 pairs) and summarized into a
+     membership bitset (the reference's Bloom-filter role — one device
+     word gather per probe instead of a binary search);
+  2. the bigger side streams through in chunks: variant hashes ->
+     bitset probe -> two-level compaction of the ~1/8 false-positive +
+     true-hit survivors -> searchsorted into the sorted table with a
+     K-probe window (K escalates if a hash run is longer) -> exact
+     midpoint verification by reconstructing both variant sequences.
 
-Pipeline (all uint32-pair hashes, exact verification, same counting
-semantics as the host path in models/d1.py:_graft_join — the verified
-triple count feeds the "Got N graft candidates" log line):
-
-  1. light side: chunked variant-hash generation (neighbors_jax
-     machinery), concatenated into a device-resident table;
-  2. per heavy chunk: concat + lax.sort by (hi, lo), windowed run
-     detection restricted to cross-side pairs, static compaction;
-  3. verification: both variants are reconstructed from (amp, slot) by
-     index arithmetic and compared as sequences (hash collisions are
-     rejected; multiplicity = number of distinct midpoints, matching
-     the reference's per-probe counter).
-
-The host keeps only the tiny verified candidate list and applies the
-smallest-heavy-seed rule + (parent, child) attach ordering.
+Counting semantics match models/d1.py:_graft_join (one verified triple
+per distinct midpoint), which feeds the "Got N graft candidates" log
+line. Hash collisions are rejected by the sequence comparison; missed
+matches cannot happen (bitset has no false negatives; window overflow
+is detected on device and retried).
 """
 
 from functools import partial
@@ -34,6 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from .neighbors_jax import _OTHER3_TABLE, variant_hash_halves
+
+_MIX = jnp.uint32(0x9E3779B1)  # odd multiplier: (hi ^ lo * MIX) spreads pairs
 
 
 def _decode_slots(slot, W, padded_rows):
@@ -86,86 +86,6 @@ def _variant_rows(padded, lengths, amp, slot, W):
     return out, out_len
 
 
-@partial(jax.jit, static_argnames=("cap", "window"))
-def graft_chunk(
-    t_hi, t_lo, t_owner, t_slot, t_side,  # light table + heavy chunk, concat'd
-    padded, lengths,
-    cap: int,
-    window: int,
-):
-    """Verified (heavy, light) variant matches within one joined block.
-
-    Returns (h_amp [cap], h_slot, l_amp, l_slot, good [cap], n_flagged,
-    overflow_run). side: 0 = light, 1 = heavy; owner < 0 = invalid.
-    """
-    M = t_hi.shape[0]
-    W = padded.shape[1]
-
-    invalid = t_owner < 0
-    sent = jnp.uint32(0xFFFFFFFF)
-    sentinel_hits = jnp.sum(
-        (~invalid) & (t_hi == sent) & (t_lo == sent), dtype=jnp.int32
-    )
-    key_hi = jnp.where(invalid, sent, t_hi)
-    key_lo = jnp.where(invalid, sent, t_lo)
-
-    s_hi, s_lo, s_own, s_slot, s_side = jax.lax.sort(
-        (key_hi, key_lo, t_owner, t_slot, t_side), num_keys=2
-    )
-
-    def shifted_eq(j):
-        eq = (s_hi[j:] == s_hi[:-j]) & (s_lo[j:] == s_lo[:-j])
-        eq = eq & (s_own[j:] >= 0) & (s_own[:-j] >= 0)
-        return jnp.concatenate([jnp.zeros(j, dtype=bool), eq])
-
-    eqs = []
-    cross = []
-    for j in range(1, window + 1):
-        e = shifted_eq(j)
-        x = jnp.concatenate(
-            [jnp.zeros(j, dtype=bool), s_side[j:] != s_side[:-j]]
-        )
-        eqs.append(e)
-        cross.append(e & x)
-
-    anyflag = cross[0]
-    for c in cross[1:]:
-        anyflag = anyflag | c
-    over = shifted_eq(window + 1) if M > window + 1 else jnp.zeros(1, bool)
-    overflow_run = jnp.sum(over, dtype=jnp.int32)
-
-    n_flagged = jnp.sum(
-        sum(c.astype(jnp.int32) for c in cross), dtype=jnp.int32
-    )
-
-    # flatten (element, j) pair space and compact
-    pair_flags = jnp.stack(cross, axis=1).reshape(-1)  # [M * window]
-    (sel,) = jnp.nonzero(pair_flags, size=cap, fill_value=0)
-    picked = jnp.arange(cap, dtype=jnp.int32) < n_flagged
-    elem = sel // window
-    j_off = sel % window + 1
-    prev = jnp.clip(elem - j_off, 0, M - 1)
-
-    own_a = s_own[elem]
-    own_b = s_own[prev]
-    side_a = s_side[elem]
-    h_amp = jnp.where(side_a == 1, own_a, own_b)
-    h_slot = jnp.where(side_a == 1, s_slot[elem], s_slot[prev])
-    l_amp = jnp.where(side_a == 1, own_b, own_a)
-    l_slot = jnp.where(side_a == 1, s_slot[prev], s_slot[elem])
-
-    h_amp = jnp.where(picked, h_amp, 0)
-    l_amp = jnp.where(picked, l_amp, 0)
-    h_slot = jnp.where(picked, h_slot, 0)
-    l_slot = jnp.where(picked, l_slot, 0)
-
-    rows_h, len_h = _variant_rows(padded, lengths, h_amp, h_slot, W)
-    rows_l, len_l = _variant_rows(padded, lengths, l_amp, l_slot, W)
-    good = picked & (len_h == len_l) & jnp.all(rows_h == rows_l, axis=1)
-
-    return h_amp, l_amp, good, n_flagged, overflow_run, sentinel_hits
-
-
 @partial(jax.jit, static_argnames=("chunk_rows",))
 def variant_keys_chunk(padded, lengths, zob, ids, chunk_rows):
     """Variant-hash key arrays for a chunk of amplicons.
@@ -187,10 +107,159 @@ def variant_keys_chunk(padded, lengths, zob, ids, chunk_rows):
     )
 
 
+@partial(jax.jit, static_argnames=("bits",))
+def build_graft_table(t_hi, t_lo, t_own, t_slot, bits):
+    """Sort the table keys and build the membership bitset.
+
+    Returns (s_hi, s_lo, s_own, s_slot, bitset [2^(bits-5)+1 u32],
+    sentinel_hits). Invalid keys (owner < 0) carry the all-ones
+    sentinel, sort last and never enter the bitset.
+    """
+    invalid = t_own < 0
+    sent = jnp.uint32(0xFFFFFFFF)
+    sentinel_hits = jnp.sum(
+        (~invalid) & (t_hi == sent) & (t_lo == sent), dtype=jnp.int32
+    )
+    hi = jnp.where(invalid, sent, t_hi)
+    lo = jnp.where(invalid, sent, t_lo)
+    s_hi, s_lo, s_own, s_slot = jax.lax.sort(
+        (hi, lo, t_own, t_slot), num_keys=2
+    )
+
+    n_words = 1 << (bits - 5)
+    idx = (s_hi ^ (s_lo * _MIX)) & jnp.uint32((1 << bits) - 1)
+    word = jnp.where(s_own >= 0, (idx >> 5).astype(jnp.int32), n_words)
+    bit = jnp.where(
+        s_own >= 0, jnp.uint32(1) << (idx & 31), jnp.uint32(0)
+    )
+
+    # scatter-OR without races: sort by word, OR within runs via a
+    # segmented scan, write each run's last element (unique indices)
+    w_s, b_s = jax.lax.sort((word, bit), num_keys=1)
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), w_s[1:] != w_s[:-1]]
+    )
+
+    def combine(a, b):
+        av, as_ = a
+        bv, bs = b
+        return jnp.where(bs, bv, av | bv), as_ | bs
+
+    or_scan, _ = jax.lax.associative_scan(combine, (b_s, seg_start))
+    run_end = jnp.concatenate([w_s[1:] != w_s[:-1], jnp.ones(1, dtype=bool)])
+    dst = jnp.where(run_end, w_s, n_words)
+    bitset = jnp.zeros(n_words + 1, dtype=jnp.uint32).at[dst].set(or_scan)
+    return s_hi, s_lo, s_own, s_slot, bitset, sentinel_hits
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk_rows", "bits", "cap3", "cap", "probes",
+                     "chunk_is_heavy"),
+)
+def graft_probe_chunk(
+    padded, lengths, zob, ids,
+    s_hi, s_lo, s_own, s_slot, bitset,
+    chunk_rows, bits, cap3, cap, probes, chunk_is_heavy,
+):
+    """One streamed chunk: variant hashes -> bitset -> table probes ->
+    verified (heavy, light) pairs.
+
+    Returns (h_amp [cap], l_amp [cap], good [cap], n_survivors,
+    n_pairs, window_overflow).
+    """
+    M_t = s_hi.shape[0]
+    W = padded.shape[1]
+    rows = padded[jnp.maximum(ids, 0)]
+    lens = jnp.where(ids >= 0, lengths[jnp.maximum(ids, 0)], 0)
+    (c_hi, c_lo), _, valid = variant_hash_halves(rows, lens, zob)
+    S = c_hi.shape[1]
+    valid = valid & (ids[:, None] >= 0)
+
+    idx = (c_hi ^ (c_lo * _MIX)) & jnp.uint32((1 << bits) - 1)
+    wordv = bitset[(idx >> 5).astype(jnp.int32)]
+    hit = valid & (((wordv >> (idx & 31)) & 1) != 0)
+
+    # two-level compaction of survivors
+    flat = hit.reshape(-1)
+    M = flat.shape[0]
+    n_surv = jnp.sum(flat, dtype=jnp.int32)
+    M32 = -(-M // 32) * 32
+    af = jnp.concatenate([flat, jnp.zeros(M32 - M, dtype=bool)]).reshape(-1, 32)
+    wflag = jnp.any(af, axis=1)
+    n_words_f = jnp.sum(wflag, dtype=jnp.int32)
+    (wsel,) = jnp.nonzero(wflag, size=cap3, fill_value=0)
+    w_picked = jnp.arange(cap3, dtype=jnp.int32) < n_words_f
+    bits32 = af[wsel] & w_picked[:, None]
+    flat_idx = wsel[:, None] * 32 + jnp.arange(32, dtype=jnp.int32)[None, :]
+    cand = jnp.where(bits32, flat_idx, M32).reshape(-1)
+    (sel2,) = jnp.nonzero(cand < M32, size=cap3, fill_value=0)
+    sel = jnp.minimum(cand[sel2], M - 1)
+    picked3 = jnp.arange(cap3, dtype=jnp.int32) < n_surv
+
+    surv_hi = c_hi.reshape(-1)[sel]
+    surv_lo = c_lo.reshape(-1)[sel]
+    surv_amp = ids[sel // S]
+    surv_slot = (sel % S).astype(jnp.int32)
+
+    # probe the sorted table: left edge of the hi-run, K-slot window
+    pos = jnp.searchsorted(s_hi, surv_hi, side="left").astype(jnp.int32)
+    pair_flags = []
+    pair_tpos = []
+    over = jnp.zeros((), dtype=jnp.int32)
+    for k in range(probes + 1):
+        raw = pos + k
+        in_range = raw < M_t
+        p_k = jnp.clip(raw, 0, M_t - 1)
+        m = (
+            picked3 & in_range
+            & (s_hi[p_k] == surv_hi) & (s_lo[p_k] == surv_lo)
+            & (s_own[p_k] >= 0)
+        )
+        if k == probes:
+            # matches can only lie further right if the hi-run is still
+            # alive at the window edge with lo not yet past the target
+            # (lo ascends within a hi-run) => escalate
+            maybe_beyond = (
+                picked3 & in_range
+                & (s_hi[p_k] == surv_hi) & (s_lo[p_k] <= surv_lo)
+            )
+            over = jnp.sum(maybe_beyond, dtype=jnp.int32)
+        else:
+            pair_flags.append(m)
+            pair_tpos.append(p_k)
+
+    pflags = jnp.stack(pair_flags, axis=1).reshape(-1)  # [cap3 * probes]
+    ptpos = jnp.stack(pair_tpos, axis=1).reshape(-1)
+    n_pairs = jnp.sum(pflags, dtype=jnp.int32)
+    (psel,) = jnp.nonzero(pflags, size=cap, fill_value=0)
+    picked = jnp.arange(cap, dtype=jnp.int32) < n_pairs
+
+    surv_i = psel // probes
+    t_i = ptpos[psel]
+    c_amp = jnp.where(picked, surv_amp[surv_i], 0)
+    c_slot = jnp.where(picked, surv_slot[surv_i], 0)
+    t_amp = jnp.where(picked, s_own[t_i], 0)
+    t_slot = jnp.where(picked, s_slot[t_i], 0)
+
+    rows_c, len_c = _variant_rows(padded, lengths, c_amp, c_slot, W)
+    rows_t, len_t = _variant_rows(padded, lengths, t_amp, t_slot, W)
+    good = picked & (len_c == len_t) & jnp.all(rows_c == rows_t, axis=1)
+
+    if chunk_is_heavy:
+        h_amp, l_amp = c_amp, t_amp
+    else:
+        h_amp, l_amp = t_amp, c_amp
+    return h_amp, l_amp, good, n_surv, n_pairs, over
+
+
 class GraftEngine:
     """Device-side graft-candidate discovery for the fastidious pass."""
 
     CHUNK = 4096
+    #: device-resident table-side key budget (keys ~12 bytes plus the
+    #: one-off sort's double buffer)
+    MAX_TABLE_KEYS = 250_000_000
 
     def __init__(self, padded_np, lengths_np, zob_pair_np):
         self.width = padded_np.shape[1]
@@ -219,19 +288,13 @@ class GraftEngine:
             jnp.concatenate(owners), jnp.concatenate(slots),
         )
 
-    #: device-resident table-side key budget (keys ~12 bytes; joins add
-    #: the streamed chunk and the sort's double buffer on top)
-    MAX_TABLE_KEYS = 120_000_000
-
     def graft_candidates(self, heavy_amps: np.ndarray, light_amps: np.ndarray):
         """(count, graft_cand[n]) — same contract as models/d1.py:_graft_join.
 
-        The smaller side is tabled on device and the bigger side is
-        streamed in chunks (the join is symmetric; pair orientation
-        comes from the side flags). Very large table sides are further
-        processed in strips: triple counts add across strips (each
-        tabled amplicon belongs to exactly one) and per-light heavy
-        minima merge with an element-wise min.
+        The smaller side is tabled (sorted once + bitset); the bigger
+        side streams. Very large table sides are processed in strips:
+        triple counts add across strips (each tabled amplicon belongs
+        to exactly one) and per-light heavy minima merge element-wise.
         """
         keys_per_amp = 8 * self.width + 4
         max_table = max(self.CHUNK, self.MAX_TABLE_KEYS // keys_per_amp)
@@ -262,47 +325,45 @@ class GraftEngine:
             return 0, graft_cand
 
         if len(heavy_amps) < len(light_amps):
-            table_amps, table_side_val = heavy_amps, 1
-            chunk_amps, chunk_side_val = light_amps, 0
+            table_amps, chunk_amps, chunk_is_heavy = heavy_amps, light_amps, False
         else:
-            table_amps, table_side_val = light_amps, 0
-            chunk_amps, chunk_side_val = heavy_amps, 1
+            table_amps, chunk_amps, chunk_is_heavy = light_amps, heavy_amps, True
 
-        tb_hi, tb_lo, tb_own, tb_slot = self._side_keys(table_amps)
-        tb_side = jnp.full(tb_hi.shape[0], table_side_val, dtype=jnp.int32)
+        t_hi, t_lo, t_own, t_slot = self._side_keys(table_amps)
+        m_table = int(t_hi.shape[0])
+        # bitset sized for ~1/8 false-positive rate, clamped to 128 MB
+        bits = min(max(20, (m_table * 8 - 1).bit_length()), 30)
+        s_hi, s_lo, s_own, s_slot, bitset, sentinel = build_graft_table(
+            t_hi, t_lo, t_own, t_slot, bits=bits
+        )
+        if int(sentinel) > 0:
+            raise RuntimeError("sentinel collision in graft table")
 
         total = 0
         all_h, all_l = [], []
         C = self.CHUNK
+        cap3 = 1 << 17
+        cap = 1 << 16
+        probes = 8
         for start in range(0, len(chunk_amps), C):
             sel = chunk_amps[start : start + C]
             ids = np.full(C, -1, dtype=np.int32)
             ids[: len(sel)] = sel
-            c_hi, c_lo, c_own, c_slot = variant_keys_chunk(
-                self.padded, self.lengths, self.zob, jnp.asarray(ids),
-                chunk_rows=C,
-            )
-            t_hi = jnp.concatenate([tb_hi, c_hi])
-            t_lo = jnp.concatenate([tb_lo, c_lo])
-            t_own = jnp.concatenate([tb_own, c_own])
-            t_slot = jnp.concatenate([tb_slot, c_slot])
-            t_side = jnp.concatenate(
-                [tb_side, jnp.full(c_hi.shape[0], chunk_side_val, jnp.int32)]
-            )
-
-            cap = 1 << 16
-            window = 8
+            ids_j = jnp.asarray(ids)
             while True:
-                h_amp, l_amp, good, n_flagged, over, sentinel = graft_chunk(
-                    t_hi, t_lo, t_own, t_slot, t_side,
-                    self.padded, self.lengths, cap=cap, window=window,
+                h_amp, l_amp, good, n_surv, n_pairs, over = graft_probe_chunk(
+                    self.padded, self.lengths, self.zob, ids_j,
+                    s_hi, s_lo, s_own, s_slot, bitset,
+                    chunk_rows=C, bits=bits, cap3=cap3, cap=cap,
+                    probes=probes, chunk_is_heavy=chunk_is_heavy,
                 )
-                if int(sentinel) > 0:
-                    raise RuntimeError("sentinel collision in graft join")
                 if int(over) > 0:
-                    window *= 2
+                    probes *= 2
                     continue
-                if int(n_flagged) > cap:
+                if int(n_surv) > cap3:
+                    cap3 *= 2
+                    continue
+                if int(n_pairs) > cap:
                     cap *= 2
                     continue
                 break
