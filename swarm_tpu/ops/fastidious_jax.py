@@ -111,7 +111,7 @@ def variant_keys_chunk(padded, lengths, zob, ids, chunk_rows):
 def build_graft_table(t_hi, t_lo, t_own, t_slot, bits):
     """Sort the table keys and build the membership bitset.
 
-    Returns (s_hi, s_lo, s_own, s_slot, bitset [2^(bits-5)+1 u32],
+    Returns (s_hi, s_lo, s_own, s_slot, byteset [2^bits+1 u8],
     sentinel_hits). Invalid keys (owner < 0) carry the all-ones
     sentinel, sort last and never enter the bitset.
     """
@@ -126,30 +126,17 @@ def build_graft_table(t_hi, t_lo, t_own, t_slot, bits):
         (hi, lo, t_own, t_slot), num_keys=2
     )
 
-    n_words = 1 << (bits - 5)
-    idx = (s_hi ^ (s_lo * _MIX)) & jnp.uint32((1 << bits) - 1)
-    word = jnp.where(s_own >= 0, (idx >> 5).astype(jnp.int32), n_words)
-    bit = jnp.where(
-        s_own >= 0, jnp.uint32(1) << (idx & 31), jnp.uint32(0)
+    # membership BYTE-set: one u8 per hashed slot, built with a plain
+    # scatter-max (duplicate indices are harmless — no read-modify-write
+    # races, no segmented scan; 8x the memory of a bitset but compiles
+    # robustly at any size)
+    n_bytes = 1 << bits
+    idx = (s_hi ^ (s_lo * _MIX)) & jnp.uint32(n_bytes - 1)
+    dst = jnp.where(s_own >= 0, idx.astype(jnp.int32), n_bytes)
+    byteset = jnp.zeros(n_bytes + 1, dtype=jnp.uint8).at[dst].max(
+        jnp.uint8(1)
     )
-
-    # scatter-OR without races: sort by word, OR within runs via a
-    # segmented scan, write each run's last element (unique indices)
-    w_s, b_s = jax.lax.sort((word, bit), num_keys=1)
-    seg_start = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), w_s[1:] != w_s[:-1]]
-    )
-
-    def combine(a, b):
-        av, as_ = a
-        bv, bs = b
-        return jnp.where(bs, bv, av | bv), as_ | bs
-
-    or_scan, _ = jax.lax.associative_scan(combine, (b_s, seg_start))
-    run_end = jnp.concatenate([w_s[1:] != w_s[:-1], jnp.ones(1, dtype=bool)])
-    dst = jnp.where(run_end, w_s, n_words)
-    bitset = jnp.zeros(n_words + 1, dtype=jnp.uint32).at[dst].set(or_scan)
-    return s_hi, s_lo, s_own, s_slot, bitset, sentinel_hits
+    return s_hi, s_lo, s_own, s_slot, byteset, sentinel_hits
 
 
 @partial(
@@ -177,8 +164,7 @@ def graft_probe_chunk(
     valid = valid & (ids[:, None] >= 0)
 
     idx = (c_hi ^ (c_lo * _MIX)) & jnp.uint32((1 << bits) - 1)
-    wordv = bitset[(idx >> 5).astype(jnp.int32)]
-    hit = valid & (((wordv >> (idx & 31)) & 1) != 0)
+    hit = valid & (bitset[idx.astype(jnp.int32)] != 0)
 
     # two-level compaction of survivors
     flat = hit.reshape(-1)
@@ -331,8 +317,8 @@ class GraftEngine:
 
         t_hi, t_lo, t_own, t_slot = self._side_keys(table_amps)
         m_table = int(t_hi.shape[0])
-        # bitset sized for ~1/8 false-positive rate, clamped to 128 MB
-        bits = min(max(20, (m_table * 8 - 1).bit_length()), 30)
+        # byte-set sized for ~1/8 false-positive rate, clamped to 256 MB
+        bits = min(max(20, (m_table * 8 - 1).bit_length()), 28)
         s_hi, s_lo, s_own, s_slot, bitset, sentinel = build_graft_table(
             t_hi, t_lo, t_own, t_slot, bits=bits
         )
