@@ -462,3 +462,49 @@ def d2_subseed_screen(profiles, order, abundances, diffest, swarmed,
         ctypes.c_int64(d), _ptr(out_pos), _ptr(out_ids),
     )
     return out_pos[:hits], out_ids[:hits]
+
+
+if lib is not None:
+    lib.write_uclust_d1.restype = ctypes.c_int64
+
+
+def write_uclust_d1(db, arena: "HeaderArena", append_ab, usearch,
+                    members, bounds, attached, swarm_seed, swarm_size,
+                    mismatch, gapopen, gapextend):
+    """uclust output for the d=1 no-graft path, or None on fallback."""
+    longest = max(int(db.longest), 1)
+    dirs = np.empty(longest * longest, dtype=np.uint8)
+    H = np.empty(longest + 1, dtype=np.int64)
+    E = np.empty(longest + 1, dtype=np.int64)
+    raw = ctypes.create_string_buffer(2 * longest + 4)
+    cigar = ctypes.create_string_buffer(16 * longest + 32)
+
+    members = np.ascontiguousarray(members, dtype=np.int64)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    seeds_arr = np.ascontiguousarray(swarm_seed, dtype=np.int64)
+    sizes_arr = np.ascontiguousarray(swarm_size, dtype=np.int64)
+    cap = int(
+        arena.hdr_len.sum() * 2 + arena.hdr_len[seeds_arr].sum() * 2
+        + 200 * len(members) + 16 * longest * len(members) // 8 + 1024
+    )
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        w = lib.write_uclust_d1(
+            _ptr(db.codes), _ptr(db.offsets), _ptr(db.lengths),
+            _ptr(arena.arena), _ptr(arena.hdr_off), _ptr(arena.hdr_len),
+            _ptr(arena.ab_start), _ptr(arena.ab_end), _ptr(arena.abundance),
+            ctypes.c_int64(append_ab), ctypes.c_int(1 if usearch else 0),
+            _ptr(members), _ptr(bounds),
+            _ptr(np.ascontiguousarray(attached, dtype=np.uint8)),
+            ctypes.c_int64(len(bounds) - 1), _ptr(seeds_arr), _ptr(sizes_arr),
+            ctypes.c_int64(mismatch), ctypes.c_int64(gapopen),
+            ctypes.c_int64(gapextend),
+            _ptr(dirs), _ptr(H), _ptr(E), raw, cigar,
+            out, ctypes.c_int64(cap),
+        )
+        if w == -2:
+            return None
+        if w < 0:
+            cap *= 2
+            continue
+        return out.raw[:w]

@@ -1066,3 +1066,77 @@ int64_t d2_subseed_screen(const uint64_t *profiles, const int64_t *order,
   }
   return hits;
 }
+
+/* ------------------------------------------------------------------ */
+/* d=1 uclust writer (reference src/algod1.cc:852-934)                 */
+/* ------------------------------------------------------------------ */
+
+/* Returns bytes written or -1 when out_cap is insufficient. Scratch:
+ * dirs >= longest^2, Hbuf/Ebuf >= longest, raw >= 2*longest+2,
+ * cigar >= 8*2*longest+16. */
+int64_t write_uclust_d1(
+    const uint8_t *codes, const int64_t *seq_off, const int64_t *seq_len,
+    const uint8_t *hdr_arena, const int64_t *hdr_off, const int64_t *hdr_len,
+    const int32_t *ab_start, const int32_t *ab_end, const int64_t *abundance,
+    int64_t append_ab, int usearch,
+    const int64_t *members, const int64_t *bounds, const uint8_t *attached,
+    int64_t nswarms, const int64_t *swarm_seed, const int64_t *swarm_size,
+    int64_t mismatch, int64_t go, int64_t ge,
+    uint8_t *dirs, int64_t *Hbuf, int64_t *Ebuf, char *raw, char *cigar,
+    char *out, int64_t out_cap) {
+  int64_t w = 0;
+  int64_t cluster_no = 0;
+  char seed_id[1 << 16];
+  for (int64_t s = 0; s < nswarms; s++) {
+    if (attached[s])
+      continue;
+    int64_t seed = swarm_seed[s];
+    if (hdr_len[seed] + 32 > (1 << 16))
+      return -2; /* pathological header length: caller falls back */
+    int64_t sid_len = emit_id(hdr_arena + hdr_off[seed], hdr_len[seed],
+                              ab_start[seed], ab_end[seed], abundance[seed],
+                              append_ab, usearch, seed_id);
+    if (w + 2 * sid_len + 128 > out_cap)
+      return -1;
+    w += sprintf(out + w, "C\t%lld\t%lld\t*\t*\t*\t*\t*\t",
+                 (long long)cluster_no, (long long)swarm_size[s]);
+    memcpy(out + w, seed_id, (size_t)sid_len);
+    w += sid_len;
+    w += sprintf(out + w, "\t*\nS\t%lld\t%lld\t*\t*\t*\t*\t*\t",
+                 (long long)cluster_no, (long long)seq_len[seed]);
+    memcpy(out + w, seed_id, (size_t)sid_len);
+    w += sid_len;
+    out[w++] = '\t';
+    out[w++] = '*';
+    out[w++] = '\n';
+
+    const uint8_t *qseq = codes + seq_off[seed];
+    int64_t qlen = seq_len[seed];
+    for (int64_t m = bounds[s] + 1; m < bounds[s + 1]; m++) {
+      int64_t amp = members[m];
+      int64_t out3[3];
+      nw_align(codes + seq_off[amp], seq_len[amp], qseq, qlen, mismatch, go,
+               ge, dirs, Hbuf, Ebuf, raw, cigar, out3);
+      double percentid = 100.0 * (double)(out3[1] - out3[0]) / (double)out3[1];
+      if (w + hdr_len[amp] + sid_len + out3[2] + 128 > out_cap)
+        return -1;
+      w += sprintf(out + w, "H\t%lld\t%lld\t%.1f\t+\t0\t0\t",
+                   (long long)cluster_no, (long long)seq_len[amp], percentid);
+      if (out3[0] > 0) {
+        memcpy(out + w, cigar, (size_t)out3[2]);
+        w += out3[2];
+      } else {
+        out[w++] = '=';
+      }
+      out[w++] = '\t';
+      w += emit_id(hdr_arena + hdr_off[amp], hdr_len[amp], ab_start[amp],
+                   ab_end[amp], abundance[amp], append_ab, usearch, out + w);
+      out[w++] = '\t';
+      memcpy(out + w, seed_id, (size_t)sid_len);
+      w += sid_len;
+      out[w++] = '\n';
+    }
+    cluster_no++;
+  }
+  return w;
+}

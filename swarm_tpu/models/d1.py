@@ -537,6 +537,43 @@ def _materialize(padded, lengths, amp, slot, max_len):
     return rows, out_len
 
 
+def _write_uclust_python(p, db, progress, st, ua, aa, swarmcount):
+    """Python uclust writer (graft path and pathological-header fallback).
+    Caller has already emitted progress.init."""
+    _ensure_members(st)
+    out = []
+    cluster_no = 0
+    counter = 0
+    for i in range(swarmcount):
+        if st.swarm_attached[i]:
+            continue
+        seed = st.swarm_seed[i]
+        seed_id = db.print_id(seed, ua, aa)
+        qseq = db.sequence_codes(seed)
+        out.append(
+            f"C\t{cluster_no}\t{st.swarm_size[i]}\t*\t*\t*\t*\t*\t{seed_id}\t*\n"
+        )
+        out.append(
+            f"S\t{cluster_no}\t{db.lengths[seed]}\t*\t*\t*\t*\t*\t{seed_id}\t*\n"
+        )
+        for amp in st.swarm_members[i][1:]:
+            dseq = db.sequence_codes(amp)
+            nwdiff, alen, cigar = nw(
+                dseq, qseq, p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend
+            )
+            percentid = 100.0 * (alen - nwdiff) / alen
+            out.append(
+                f"H\t{cluster_no}\t{db.lengths[amp]}\t{percentid:.1f}\t+\t0\t0\t"
+                f"{cigar if nwdiff > 0 else '='}\t"
+                f"{db.print_id(amp, ua, aa)}\t{seed_id}\n"
+            )
+        cluster_no += 1
+        progress.update(counter)
+        counter += 1
+    p.uclustfile.write("".join(out))
+    progress.done()
+
+
 def _output_results(p, db, progress, st, swarmcount_adjusted):
     from .. import _native
 
@@ -646,40 +683,24 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
         progress.done()
 
     # uclust
-    if p.opt_uclust_file:
-        _ensure_members(st)
+    if p.opt_uclust_file and arena is not None and no_grafts and st.flat_members is not None:
         progress.init("Writing UCLUST:   ", swarmcount)
-        out = []
-        cluster_no = 0
-        counter = 0
-        for i in range(swarmcount):
-            if st.swarm_attached[i]:
-                continue
-            seed = st.swarm_seed[i]
-            seed_id = db.print_id(seed, ua, aa)
-            qseq = db.sequence_codes(seed)
-            out.append(
-                f"C\t{cluster_no}\t{st.swarm_size[i]}\t*\t*\t*\t*\t*\t{seed_id}\t*\n"
-            )
-            out.append(
-                f"S\t{cluster_no}\t{db.lengths[seed]}\t*\t*\t*\t*\t*\t{seed_id}\t*\n"
-            )
-            for amp in st.swarm_members[i][1:]:
-                dseq = db.sequence_codes(amp)
-                nwdiff, alen, cigar = nw(
-                    dseq, qseq, p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend
-                )
-                percentid = 100.0 * (alen - nwdiff) / alen
-                out.append(
-                    f"H\t{cluster_no}\t{db.lengths[amp]}\t{percentid:.1f}\t+\t0\t0\t"
-                    f"{cigar if nwdiff > 0 else '='}\t"
-                    f"{db.print_id(amp, ua, aa)}\t{seed_id}\n"
-                )
-            cluster_no += 1
-            progress.update(counter)
-            counter += 1
-        p.uclustfile.write("".join(out))
-        progress.done()
+        blob = _native.write_uclust_d1(
+            db, arena, aa, ua, st.flat_members, st.flat_bounds, attached_u8,
+            st.swarm_seed, st.swarm_size,
+            p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend,
+        )
+        if blob is not None:
+            p.uclustfile.write(blob.decode("latin-1"))
+            from ..progress import replay_range
+
+            replay_range(progress, swarmcount)
+            progress.done()
+        else:
+            _write_uclust_python(p, db, progress, st, ua, aa, swarmcount)
+    elif p.opt_uclust_file:
+        progress.init("Writing UCLUST:   ", swarmcount)
+        _write_uclust_python(p, db, progress, st, ua, aa, swarmcount)
 
     # stats
     if p.opt_statistics_file:

@@ -30,7 +30,8 @@ def test_stress_d1_all_outputs(both, jax_backend, seed):
     )
     both.compare(
         ["-o", "out.txt", "-s", "stats.txt", "-i", "structure.txt",
-         "-w", "seeds.fasta", "-l", "log.txt", "input.fasta"],
+         "-w", "seeds.fasta", "-u", "uclust.txt", "-l", "log.txt",
+         "input.fasta"],
         fasta,
     )
 
