@@ -508,3 +508,32 @@ def write_uclust_d1(db, arena: "HeaderArena", append_ab, usearch,
             cap *= 2
             continue
         return out.raw[:w]
+
+
+if lib is not None:
+    lib.write_network_d1.restype = ctypes.c_int64
+
+
+def write_network_d1(arena: "HeaderArena", append_ab, usearch,
+                     link_start, link_count, edges_to):
+    """Network dump bytes, or None on pathological headers."""
+    n = len(link_start)
+    edges_to = np.ascontiguousarray(edges_to, dtype=np.int64)
+    n_edges = len(edges_to)
+    cap = int(arena.hdr_len.sum()) * 2 + 80 * n_edges + 1024
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        w = lib.write_network_d1(
+            _ptr(arena.arena), _ptr(arena.hdr_off), _ptr(arena.hdr_len),
+            _ptr(arena.ab_start), _ptr(arena.ab_end), _ptr(arena.abundance),
+            ctypes.c_int64(append_ab), ctypes.c_int(1 if usearch else 0),
+            _ptr(np.ascontiguousarray(link_start, dtype=np.int64)),
+            _ptr(np.ascontiguousarray(link_count, dtype=np.int64)),
+            _ptr(edges_to), ctypes.c_int64(n), out, ctypes.c_int64(cap),
+        )
+        if w == -2:
+            return None
+        if w < 0:
+            cap *= 2
+            continue
+        return out.raw[:w]

@@ -1140,3 +1140,39 @@ int64_t write_uclust_d1(
   }
   return w;
 }
+
+/* d=1 network dump (reference src/algod1.cc:755-788); the CSR edge
+ * list arrives sorted by (from, to), so per-amplicon targets are
+ * already ascending. Returns bytes written or -1 on short buffer. */
+int64_t write_network_d1(
+    const uint8_t *hdr_arena, const int64_t *hdr_off, const int64_t *hdr_len,
+    const int32_t *ab_start, const int32_t *ab_end, const int64_t *abundance,
+    int64_t append_ab, int usearch,
+    const int64_t *link_start, const int64_t *link_count,
+    const int64_t *edges_to, int64_t n, char *out, int64_t out_cap) {
+  int64_t w = 0;
+  for (int64_t amp = 0; amp < n; amp++) {
+    int64_t cnt = link_count[amp];
+    if (cnt == 0)
+      continue;
+    char amp_id[1 << 16];
+    if (hdr_len[amp] + 32 > (1 << 16))
+      return -2;
+    int64_t aid_len = emit_id(hdr_arena + hdr_off[amp], hdr_len[amp],
+                              ab_start[amp], ab_end[amp], abundance[amp],
+                              append_ab, usearch, amp_id);
+    const int64_t *tgts = edges_to + link_start[amp];
+    for (int64_t e = 0; e < cnt; e++) {
+      int64_t tgt = tgts[e];
+      if (w + aid_len + hdr_len[tgt] + 34 > out_cap)
+        return -1;
+      memcpy(out + w, amp_id, (size_t)aid_len);
+      w += aid_len;
+      out[w++] = '\t';
+      w += emit_id(hdr_arena + hdr_off[tgt], hdr_len[tgt], ab_start[tgt],
+                   ab_end[tgt], abundance[tgt], append_ab, usearch, out + w);
+      out[w++] = '\n';
+    }
+  }
+  return w;
+}

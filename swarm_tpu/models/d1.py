@@ -63,6 +63,23 @@ class D1State:
         self.flat_bounds = None
 
 
+def _dump_network_python(p, db, progress, n, link_start, link_count,
+                         edges_to, ua, aa):
+    out = []
+    n_processed = 0
+    for amp in range(n):
+        start = link_start[amp]
+        cnt = link_count[amp]
+        targets = np.sort(edges_to[start : start + cnt])
+        amp_id = db.print_id(amp, ua, aa)
+        for tgt in targets:
+            out.append(f"{amp_id}\t{db.print_id(int(tgt), ua, aa)}\n")
+            n_processed += 1
+        progress.update(n_processed)
+    p.network_file.write("".join(out))
+    progress.done()
+
+
 def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
     n = len(db)
     abundances = db.abundances.astype(np.uint64)
@@ -120,21 +137,30 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
     aa = p.opt_append_abundance
 
     # --- network dump ---
-    if p.opt_network_file:
+    if p.opt_network_file and _native.available():
         progress.init("Dumping network:  ", int(len(edges_from)))
-        out = []
-        n_processed = 0
-        for amp in range(n):
-            start = link_start[amp]
-            cnt = link_count[amp]
-            targets = np.sort(edges_to[start : start + cnt])
-            amp_id = db.print_id(amp, ua, aa)
-            for tgt in targets:
-                out.append(f"{amp_id}\t{db.print_id(int(tgt), ua, aa)}\n")
-                n_processed += 1
-            progress.update(n_processed)
-        p.network_file.write("".join(out))
-        progress.done()
+        blob = _native.write_network_d1(
+            _native.HeaderArena(db), aa, ua, link_start, link_count, edges_to
+        )
+        if blob is not None:
+            p.network_file.write(blob.decode("latin-1"))
+            from ..progress import replay_values
+
+            # the python loop updates with the running edge count after
+            # each amplicon; replay the same milestone sequence
+            cum = np.cumsum(link_count)
+            replay_values(progress, cum)
+            progress.done()
+        else:
+            _dump_network_python(
+                p, db, progress, n, link_start, link_count, edges_to, ua, aa
+            )
+    elif p.opt_network_file:
+        progress.init("Dumping network:  ", int(len(edges_from)))
+        _dump_network_python(
+            p, db, progress, n, link_start, link_count, edges_to, ua, aa
+        )
+
 
     # --- clustering phase: generation-by-generation BFS ---
     st = D1State(n)
