@@ -315,3 +315,22 @@ def test_sortjoin_window_retry_long_runs():
     assert np.array_equal(et_np, et_j)
     # all insertions are dist-1 from base: the run is 31 long
     assert len(ef_np) >= 30
+
+
+def test_distributed_sortjoin_single_device():
+    """The sharded engine degenerates correctly to one device (the
+    single-chip hardware case)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from swarm_tpu.parallel.mesh import SortJoinShardedEngine
+
+    db = _random_db(n=200, min_len=20, max_len=60, seed=31)
+    ab = db.abundances.astype(np.uint64)
+    ef_np, et_np = NeighborIndex(db, backend="numpy").build_network(False, ab)
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("amps",))
+    engine = SortJoinShardedEngine(db, mesh=mesh)
+    ef_s, et_s = engine.build_network(False, ab)
+    assert np.array_equal(ef_np, ef_s)
+    assert np.array_equal(et_np, et_s)
