@@ -29,8 +29,9 @@ def read_samples(paths):
             for line in handle:
                 if not line.startswith(">"):
                     continue
-                amplicon, abundance = line.strip(">;\n").split(SEPARATOR)
-                abundance = int(abundance)
+                header = line[1:].rstrip("\n").rstrip(";")
+                amplicon, _, size_text = header.rpartition(SEPARATOR)
+                abundance = int(size_text)
                 row = per_sample[amplicon]
                 row[sample] = row.get(sample, 0) + abundance
                 totals[amplicon] += abundance

@@ -8,7 +8,8 @@ Needleman-Wunsch) runs as batched JAX/XLA/Pallas programs on device,
 while the host owns parsing, ordering, graph assembly and output.
 
 Output is byte-compatible with the reference implementation
-(see tests/test_parity.py, which diffs against a reference binary).
+(see tests/test_d1_parity.py, test_general_parity.py, test_derep_parity.py
+and test_stderr_progress.py, which diff against a reference binary).
 """
 
 __version__ = "0.1.0"

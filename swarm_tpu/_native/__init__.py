@@ -56,6 +56,7 @@ if os.environ.get("SWARM_TPU_NATIVE", "1") != "0":
             lib.find_duplicate_seq.restype = ctypes.c_int64
             lib.abundance_sort.restype = None
             lib.bfs_cluster.restype = ctypes.c_int64
+            lib.sort_seeds_stdcxx.restype = ctypes.c_int
     except OSError:
         lib = None
 
@@ -384,6 +385,7 @@ def derep_groups(codes, seq_off, seq_len):
 if lib is not None:
     lib.nw_diffs_batch.restype = None
     lib.qgram_profiles_native.restype = None
+    lib.nw_diffs_refsched.restype = None
 
 U64 = ctypes.POINTER(ctypes.c_uint64)
 
@@ -537,3 +539,53 @@ def write_network_d1(arena: "HeaderArena", append_ab, usearch,
             cap *= 2
             continue
         return out.raw[:w]
+
+
+def sort_seeds_stdcxx(mass, seed, arena: "HeaderArena") -> bool:
+    """libstdc++-exact std::sort of the d>=2 seeds vector (reference
+    src/algo.cc:161-183; see swarm_native.c for why exactness of the
+    sort ALGORITHM — not just the comparator — is required). Permutes
+    the int64 `mass` and `seed` arrays in place; returns False if the
+    native path is unavailable (caller uses the Python mirror)."""
+    if lib is None:
+        return False
+    assert mass.dtype == np.int64 and seed.dtype == np.int64
+    rc = lib.sort_seeds_stdcxx(
+        _ptr(mass), _ptr(seed), ctypes.c_int64(len(mass)),
+        _ptr(arena.arena), _ptr(arena.hdr_off), _ptr(arena.hdr_len),
+    )
+    return rc == 0
+
+
+def nw_diffs_refsched(qseq, dseqs, dlens, compute,
+                      mismatch, gapopen, gapextend, bit_mode):
+    """(scores, diffs, alignlengths) — reference-BINARY semantics with
+    the compiled-in left-boundary artifact (see swarm_native.c). dseqs
+    must be the full ordered target list of one search_do call."""
+    B, dlen_max = dseqs.shape
+    qlen = len(qseq)
+    dlens = np.ascontiguousarray(dlens, dtype=np.int64)
+    total_blocks = int(np.sum((dlens + 3) // 4))
+    dirs = np.empty(max(dlen_max * qlen, 1), dtype=np.uint8)
+    HE = np.empty(max(2 * qlen, 1), dtype=np.uint32)
+    start_iter = np.empty(max(B, 1), dtype=np.int64)
+    junk = np.empty(2 * (total_blocks + 2), dtype=np.uint32)
+    scores = np.empty(B, dtype=np.int64)
+    diffs = np.empty(B, dtype=np.int64)
+    alignlengths = np.empty(B, dtype=np.int64)
+    if compute is None:
+        compute_ptr = None
+    else:
+        compute = np.ascontiguousarray(compute, dtype=np.uint8)
+        compute_ptr = _ptr(compute)
+    lib.nw_diffs_refsched(
+        _ptr(np.ascontiguousarray(qseq, dtype=np.uint8)), ctypes.c_int64(qlen),
+        _ptr(np.ascontiguousarray(dseqs, dtype=np.uint8)),
+        _ptr(dlens), ctypes.c_int64(dlen_max), ctypes.c_int64(B),
+        compute_ptr,
+        ctypes.c_int64(mismatch), ctypes.c_int64(gapopen),
+        ctypes.c_int64(gapextend), ctypes.c_int64(bit_mode),
+        _ptr(dirs), _ptr(HE.view(np.uint32)), _ptr(start_iter), _ptr(junk),
+        _ptr(scores), _ptr(diffs), _ptr(alignlengths),
+    )
+    return scores, diffs, alignlengths

@@ -1176,3 +1176,489 @@ int64_t write_network_d1(
   }
   return w;
 }
+
+/* ------------------------------------------------------------------ */
+/* libstdc++-exact std::sort for the d>=2 seeds vector                 */
+/* ------------------------------------------------------------------ */
+
+/* The reference sorts its per-swarm seed list with std::sort and a
+ * comparator whose tie branch tests `strcmp(...) == -1`
+ * (src/algo.cc:161-183). glibc strcmp returns the difference of the
+ * first differing unsigned bytes, so two equal-mass seeds compare
+ * "equal" in BOTH directions unless that difference is exactly -1 —
+ * the comparator is not a strict weak order, and the final order of
+ * such ties is whatever GCC's introsort leaves behind. Byte parity
+ * therefore requires replicating the exact introsort of
+ * bits/stl_algo.h + stl_heap.h (GCC 12): median-of-3 quicksort above
+ * 16 elements, heapsort at depth limit 2*floor(log2 n), one final
+ * insertion-sort pass. */
+
+typedef struct {
+  int64_t mass;
+  int64_t seed;
+} seedrec_t;
+
+typedef struct {
+  const uint8_t *arena;
+  const int64_t *off;
+  const int64_t *len;
+} hdrctx_t;
+
+/* glibc strcmp semantics on length-delimited headers (headers never
+ * contain NUL; the implicit terminator ends the shorter one) */
+static int hdr_strcmp(const hdrctx_t *c, int64_t x, int64_t y) {
+  const uint8_t *a = c->arena + c->off[x];
+  const uint8_t *b = c->arena + c->off[y];
+  int64_t la = c->len[x], lb = c->len[y];
+  int64_t n = la < lb ? la : lb;
+  for (int64_t i = 0; i < n; i++)
+    if (a[i] != b[i])
+      return (int)a[i] - (int)b[i];
+  if (la == lb)
+    return 0;
+  return la < lb ? -(int)b[n] : (int)a[n];
+}
+
+/* the reference comparator (src/algo.cc:165-179) */
+static int seeds_lt(const hdrctx_t *c, seedrec_t lhs, seedrec_t rhs) {
+  if (lhs.mass > rhs.mass)
+    return 1;
+  if (lhs.mass < rhs.mass)
+    return 0;
+  return hdr_strcmp(c, lhs.seed, rhs.seed) == -1;
+}
+
+/* stl_heap.h __push_heap */
+static void seeds_push_heap(const hdrctx_t *c, seedrec_t *first, int64_t hole,
+                            int64_t top, seedrec_t value) {
+  int64_t parent = (hole - 1) / 2;
+  while (hole > top && seeds_lt(c, first[parent], value)) {
+    first[hole] = first[parent];
+    hole = parent;
+    parent = (hole - 1) / 2;
+  }
+  first[hole] = value;
+}
+
+/* stl_heap.h __adjust_heap: sift the hole down to a leaf, then back up */
+static void seeds_adjust_heap(const hdrctx_t *c, seedrec_t *first,
+                              int64_t hole, int64_t len, seedrec_t value) {
+  const int64_t top = hole;
+  int64_t second = hole;
+  while (second < (len - 1) / 2) {
+    second = 2 * (second + 1);
+    if (seeds_lt(c, first[second], first[second - 1]))
+      second--;
+    first[hole] = first[second];
+    hole = second;
+  }
+  if ((len & 1) == 0 && second == (len - 2) / 2) {
+    second = 2 * (second + 1);
+    first[hole] = first[second - 1];
+    hole = second - 1;
+  }
+  seeds_push_heap(c, first, hole, top, value);
+}
+
+/* stl_heap.h __pop_heap */
+static void seeds_pop_heap(const hdrctx_t *c, seedrec_t *first,
+                           seedrec_t *last, seedrec_t *result) {
+  seedrec_t value = *result;
+  *result = *first;
+  seeds_adjust_heap(c, first, 0, last - first, value);
+}
+
+/* stl_heap.h __make_heap */
+static void seeds_make_heap(const hdrctx_t *c, seedrec_t *first,
+                            seedrec_t *last) {
+  if (last - first < 2)
+    return;
+  const int64_t len = last - first;
+  int64_t parent = (len - 2) / 2;
+  while (1) {
+    seeds_adjust_heap(c, first, parent, len, first[parent]);
+    if (parent == 0)
+      return;
+    parent--;
+  }
+}
+
+/* __partial_sort(first, last, last): __heap_select degenerates to
+ * __make_heap (its scan loop is empty when middle == last) */
+static void seeds_heapsort(const hdrctx_t *c, seedrec_t *first,
+                           seedrec_t *last) {
+  seeds_make_heap(c, first, last);
+  while (last - first > 1) {
+    --last;
+    seeds_pop_heap(c, first, last, last);
+  }
+}
+
+/* stl_algo.h __unguarded_linear_insert */
+static void seeds_unguarded_linear_insert(const hdrctx_t *c, seedrec_t *last) {
+  seedrec_t val = *last;
+  seedrec_t *next = last - 1;
+  while (seeds_lt(c, val, *next)) {
+    *last = *next;
+    last = next;
+    --next;
+  }
+  *last = val;
+}
+
+/* stl_algo.h __insertion_sort */
+static void seeds_insertion_sort(const hdrctx_t *c, seedrec_t *first,
+                                 seedrec_t *last) {
+  if (first == last)
+    return;
+  for (seedrec_t *i = first + 1; i != last; ++i) {
+    if (seeds_lt(c, *i, *first)) {
+      seedrec_t val = *i;
+      memmove(first + 1, first, (size_t)(i - first) * sizeof(seedrec_t));
+      *first = val;
+    } else {
+      seeds_unguarded_linear_insert(c, i);
+    }
+  }
+}
+
+#define SEEDS_SORT_THRESHOLD 16
+
+/* stl_algo.h __move_median_to_first */
+static void seeds_move_median_to_first(const hdrctx_t *c, seedrec_t *result,
+                                       seedrec_t *a, seedrec_t *b,
+                                       seedrec_t *d) {
+#define SEEDS_SWAP(x)                                                         \
+  do {                                                                        \
+    seedrec_t t = *result;                                                    \
+    *result = *(x);                                                           \
+    *(x) = t;                                                                 \
+  } while (0)
+  if (seeds_lt(c, *a, *b)) {
+    if (seeds_lt(c, *b, *d))
+      SEEDS_SWAP(b);
+    else if (seeds_lt(c, *a, *d))
+      SEEDS_SWAP(d);
+    else
+      SEEDS_SWAP(a);
+  } else if (seeds_lt(c, *a, *d))
+    SEEDS_SWAP(a);
+  else if (seeds_lt(c, *b, *d))
+    SEEDS_SWAP(d);
+  else
+    SEEDS_SWAP(b);
+#undef SEEDS_SWAP
+}
+
+/* stl_algo.h __unguarded_partition(_pivot) */
+static seedrec_t *seeds_partition_pivot(const hdrctx_t *c, seedrec_t *first,
+                                        seedrec_t *last) {
+  seedrec_t *mid = first + (last - first) / 2;
+  seeds_move_median_to_first(c, first, first + 1, mid, last - 1);
+  seedrec_t *pivot = first;
+  seedrec_t *lo = first + 1;
+  seedrec_t *hi = last;
+  while (1) {
+    while (seeds_lt(c, *lo, *pivot))
+      ++lo;
+    --hi;
+    while (seeds_lt(c, *pivot, *hi))
+      --hi;
+    if (!(lo < hi))
+      return lo;
+    seedrec_t t = *lo;
+    *lo = *hi;
+    *hi = t;
+    ++lo;
+  }
+}
+
+/* stl_algo.h __introsort_loop */
+static void seeds_introsort_loop(const hdrctx_t *c, seedrec_t *first,
+                                 seedrec_t *last, int depth) {
+  while (last - first > SEEDS_SORT_THRESHOLD) {
+    if (depth == 0) {
+      seeds_heapsort(c, first, last);
+      return;
+    }
+    --depth;
+    seedrec_t *cut = seeds_partition_pivot(c, first, last);
+    seeds_introsort_loop(c, cut, last, depth);
+    last = cut;
+  }
+}
+
+/* std::sort(seeds) as the reference compiles it. mass/seed are
+ * parallel arrays, permuted in place. Returns 0, or -1 on alloc
+ * failure (caller falls back to the Python mirror). */
+int sort_seeds_stdcxx(int64_t *mass, int64_t *seed, int64_t n,
+                      const uint8_t *hdr_arena, const int64_t *hdr_off,
+                      const int64_t *hdr_len) {
+  if (n < 2)
+    return 0;
+  hdrctx_t ctx = {hdr_arena, hdr_off, hdr_len};
+  seedrec_t *recs = (seedrec_t *)malloc((size_t)n * sizeof(seedrec_t));
+  if (recs == NULL)
+    return -1;
+  for (int64_t i = 0; i < n; i++) {
+    recs[i].mass = mass[i];
+    recs[i].seed = seed[i];
+  }
+  /* std::__lg(n) * 2 */
+  int lg = 63 - __builtin_clzll((unsigned long long)n);
+  seeds_introsort_loop(&ctx, recs, recs + n, 2 * lg);
+  /* __final_insertion_sort */
+  if (n > SEEDS_SORT_THRESHOLD) {
+    seeds_insertion_sort(&ctx, recs, recs + SEEDS_SORT_THRESHOLD);
+    for (seedrec_t *i = recs + SEEDS_SORT_THRESHOLD; i != recs + n; ++i)
+      seeds_unguarded_linear_insert(&ctx, i);
+  } else {
+    seeds_insertion_sort(&ctx, recs, recs + n);
+  }
+  for (int64_t i = 0; i < n; i++) {
+    mass[i] = recs[i].mass;
+    seed[i] = recs[i].seed;
+  }
+  free(recs);
+  return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* reference-binary-faithful d>=2 alignment kernel                     */
+/* ------------------------------------------------------------------ */
+
+/* Byte-replication of the reference's search8/search16 kernels
+ * INCLUDING their compiled-in left-boundary artifact.
+ *
+ * The reference sources intend per-channel H0/F0 re-initialization via
+ * byte/word lane stores through pointer aliasing into __m128i locals
+ * (src/search16.cc "load" branch, src/search8.cc:831-833). Compiled at
+ * -O2 with the release Makefile, GCC keeps those vector accumulators in
+ * registers across the loop epilogue while the masked block reads the
+ * stale stack slot: only the FIRST 4-row block of each target sees the
+ * stored 2*(go+ge) left-edge F boundary (and 0 H boundary); every later
+ * block's left-edge boundaries come from a pair of global accumulators
+ * that gain 4*gapextend per 4-row block since the START OF THE SEARCH
+ * CALL, saturating at 255 (8-bit) / 65535 (16-bit):
+ *
+ *   F0(i+1) = sat(F0(i) + 4R)        F0(0) = 0
+ *   H0(i+1) = satsub(sat(F0(i) + 3R), Q)
+ *
+ * (verified against the compiled binary with an instrumented build; see
+ * tests/test_artifact_nw.py). The boundary a target's k-th block gets
+ * therefore depends on the GLOBAL block index at which that block ran,
+ * which in turn depends on how the 16 (8-bit) / 8 (16-bit) channels of
+ * the multiplexed kernel were scheduled over the whole target list. We
+ * simulate that scheduler (the easy/non-easy refill protocol of
+ * search16.cc's main loop) to learn each target's start iteration, then
+ * run a per-target DP with saturating unsigned arithmetic and the
+ * per-block boundaries, and the shared backtrack of utils/backtrack.h.
+ */
+
+static inline uint32_t sat_add_u(uint32_t a, uint32_t b, uint32_t SAT) {
+  uint32_t s = a + b;
+  return s > SAT ? SAT : s;
+}
+static inline uint32_t sat_sub_u(uint32_t a, uint32_t b) {
+  return a > b ? a - b : 0;
+}
+static inline uint32_t min_u(uint32_t a, uint32_t b) { return a < b ? a : b; }
+
+/* One query vs the FULL ordered target list of one search_do call.
+ * compute[b] == 0 skips the DP for that target (screened out by a
+ * conservative bound) but the target still participates in scheduling.
+ * dirs: caller scratch [dlen_max_blocks*4 * qlen]; HEbuf: [2*qlen];
+ * start_iter: [B]; junk: [2 * (total_blocks + 2)]. */
+void nw_diffs_refsched(const uint8_t *qseq, int64_t qlen,
+                       const uint8_t *dseqs, const int64_t *dlens,
+                       int64_t dlen_max, int64_t B, const uint8_t *compute,
+                       int64_t mismatch, int64_t go, int64_t ge,
+                       int64_t bit_mode, uint8_t *dirs, uint32_t *HEbuf,
+                       int64_t *start_iter, uint32_t *junk,
+                       int64_t *scores, int64_t *diffs,
+                       int64_t *alignlengths) {
+  const int channels = bit_mode == 8 ? 16 : 8;
+  const uint32_t SAT = bit_mode == 8 ? 255U : 65535U;
+  /* the reference casts the penalties into the lane type (truncation,
+   * not saturation) before the kernel runs */
+  const uint32_t Q = (uint32_t)(go + ge) & SAT;
+  const uint32_t R = (uint32_t)ge & SAT;
+  const uint32_t V_MM = (uint32_t)mismatch & SAT;
+  const uint32_t F0_FIRST = (uint32_t)(2 * (go + ge)) & SAT;
+
+  /* ---- scheduler: start iteration of every target ---- */
+  {
+    int64_t ch_target[16];
+    int64_t ch_remaining[16];
+    for (int c = 0; c < channels; c++) {
+      ch_target[c] = -1;
+      ch_remaining[c] = 0;
+    }
+    int easy = 0;
+    int64_t next = 0, done_ct = 0, iter = 0;
+    uint32_t F0 = 0, H0 = 0;
+    junk[0] = 0;
+    junk[1] = 0;
+    while (done_ct < B) {
+      if (!easy) {
+        int any_finish = 0;
+        for (int c = 0; c < channels; c++) {
+          if (ch_target[c] >= 0 && ch_remaining[c] > 0) {
+            ch_remaining[c] -= ch_remaining[c] < 4 ? ch_remaining[c] : 4;
+            if (ch_remaining[c] == 0)
+              any_finish = 1;
+          } else {
+            if (ch_target[c] >= 0) {
+              done_ct++;
+              ch_target[c] = -1;
+            }
+            if (next < B) {
+              ch_target[c] = next;
+              start_iter[next] = iter;
+              ch_remaining[c] = dlens[next];
+              next++;
+              ch_remaining[c] -= ch_remaining[c] < 4 ? ch_remaining[c] : 4;
+              if (ch_remaining[c] == 0)
+                any_finish = 1;
+            }
+          }
+        }
+        easy = !any_finish;
+        if (done_ct == B)
+          break;
+      } else {
+        int any_finish = 0;
+        for (int c = 0; c < channels; c++) {
+          if (ch_target[c] >= 0 && ch_remaining[c] > 0) {
+            ch_remaining[c] -= ch_remaining[c] < 4 ? ch_remaining[c] : 4;
+            if (ch_remaining[c] == 0)
+              any_finish = 1;
+          }
+        }
+        easy = !any_finish;
+      }
+      /* the block for this iteration runs with junk[2*iter..], then the
+       * epilogue advances the registers */
+      uint32_t t3 = sat_add_u(sat_add_u(sat_add_u(F0, R, SAT), R, SAT), R, SAT);
+      H0 = sat_sub_u(t3, Q);
+      F0 = sat_add_u(t3, R, SAT);
+      iter++;
+      junk[2 * iter] = F0;
+      junk[2 * iter + 1] = H0;
+    }
+  }
+
+  /* ---- per-target DP + backtrack ---- */
+  uint32_t *Hbuf = HEbuf;
+  uint32_t *Ebuf = HEbuf + qlen;
+  for (int64_t b = 0; b < B; b++) {
+    if (compute != NULL && !compute[b]) {
+      scores[b] = -1;
+      diffs[b] = (int64_t)SAT;
+      alignlengths[b] = 0;
+      continue;
+    }
+    const uint8_t *dseq = dseqs + b * dlen_max;
+    const int64_t dlen = dlens[b];
+    const int64_t s0 = start_iter[b];
+    /* masked first-block restore: H_top[i] = MQ(i), E[i] = MQ(i)+MQ0,
+     * with MQ chained saturating from Q by R per column */
+    {
+      uint32_t MQ = Q;
+      for (int64_t i = 0; i < qlen; i++) {
+        Hbuf[i] = MQ;
+        Ebuf[i] = sat_add_u(sat_add_u(0, MQ, SAT), Q, SAT);
+        MQ = sat_add_u(MQ, R, SAT);
+      }
+    }
+    uint32_t score = 0;
+    uint32_t f0_k = 0, hchain = 0;
+    for (int64_t row = 0; row < dlen; row++) {
+      const int64_t k = row >> 2;
+      const int j = (int)(row & 3);
+      if (j == 0) {
+        if (k == 0) {
+          f0_k = F0_FIRST;
+          hchain = 0; /* H0 lane store */
+        } else {
+          f0_k = junk[2 * (s0 + k)];
+          hchain = junk[2 * (s0 + k) + 1];
+        }
+      } else if (j == 1) {
+        hchain = sat_sub_u(f0_k, Q);
+      } else {
+        hchain = sat_add_u(hchain, R, SAT);
+      }
+      /* F entering column 0 for this sub-row: f0_k advanced j times */
+      uint32_t F = f0_k;
+      for (int jj = 0; jj < j; jj++)
+        F = sat_add_u(F, R, SAT);
+      uint32_t diag_in = hchain;
+      const uint8_t dch = dseq[row];
+      uint8_t *dirrow = dirs + row * qlen;
+      for (int64_t i = 0; i < qlen; i++) {
+        /* onestep_16/8: order and saturation are load-bearing */
+        uint32_t H = sat_add_u(diag_in, dch == qseq[i] ? 0 : V_MM, SAT);
+        const uint32_t W = H;
+        H = min_u(H, F);
+        uint8_t bits = (W == H) ? 1 : 0; /* BIT_UP */
+        const uint32_t E_in = Ebuf[i];
+        H = min_u(H, E_in);
+        if (H == E_in)
+          bits |= 2; /* BIT_LEFT */
+        const uint32_t N = H;
+        H = sat_add_u(H, Q, SAT);
+        F = sat_add_u(F, R, SAT);
+        uint32_t E = sat_add_u(E_in, R, SAT);
+        F = min_u(H, F);
+        if (H == F)
+          bits |= 4; /* BIT_EXTUP */
+        E = min_u(H, E);
+        if (H == E)
+          bits |= 8; /* BIT_EXTLEFT */
+        dirrow[i] = bits;
+        diag_in = Hbuf[i]; /* N(row-1, i) for the next column */
+        Hbuf[i] = N;
+        Ebuf[i] = E;
+      }
+      if (row + 1 == dlen)
+        score = Hbuf[qlen - 1];
+    }
+    scores[b] = (int64_t)score;
+    if (score >= SAT) {
+      diffs[b] = (int64_t)SAT;
+      alignlengths[b] = 0;
+      continue;
+    }
+    /* utils/backtrack.h */
+    {
+      int64_t column = qlen - 1, row = dlen - 1;
+      int64_t aligned = 0, matches = 0;
+      int op = 0;
+      while (column >= 0 && row >= 0) {
+        aligned++;
+        uint8_t cell = dirs[row * qlen + column];
+        if (op == 1 && !(cell & 8)) {
+          row--;
+        } else if (op == 2 && !(cell & 4)) {
+          column--;
+        } else if (cell & 2) {
+          row--;
+          op = 1;
+        } else if (!(cell & 1)) {
+          column--;
+          op = 2;
+        } else {
+          if (qseq[column] == dseq[row])
+            matches++;
+          column--;
+          row--;
+          op = 3;
+        }
+      }
+      aligned += column + 1 + row + 1;
+      diffs[b] = aligned - matches;
+      alignlengths[b] = aligned;
+    }
+  }
+}

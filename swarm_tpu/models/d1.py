@@ -131,6 +131,11 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
     link_start = np.zeros(n, dtype=np.int64)
     if n:
         np.cumsum(link_count[:-1], out=link_start[1:])
+    # the reference updates per amplicon scanned (src/algod1.cc:646);
+    # replay the same milestone writes after the batched device pass
+    from ..progress import replay_range
+
+    replay_range(progress, n)
     progress.done()
 
     ua = p.opt_usearch_abundance
@@ -391,9 +396,13 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
     heavy_amps = np.nonzero(~amp_is_light)[0]
 
     # mark phase (log-compatible progress + exact variant counts)
+    from ..progress import replay_range
+
     progress.init("Adding light swarm amplicons to Bloom filter", amps_small)
     light_variants = _variant_counts(db, light_amps, index)
-    progress.update(amps_small)
+    # reference: progress_update(++light_progress), values 1..amps_small
+    # (src/algod1.cc:543); +1 shifts replay_range's 0..total-1 window
+    replay_range(progress, amps_small + 1)
     progress.done()
     log.write(f"Generated {light_variants} variants from light swarms\n")
 
@@ -421,7 +430,9 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
             db, index, heavy_amps, light_amps
         )
     st.graft_cand = graft_cand
-    progress.update(amps_large)
+    # reference: progress_update(++heavy_progress), values 1..amps_large
+    # (src/algod1.cc:480)
+    replay_range(progress, amps_large + 1)
     progress.done()
 
     log.write(f"Heavy variants: {heavy_variants}\n")

@@ -18,7 +18,7 @@ from ..db import Db
 from ..ops.neighbors import pad_codes
 from ..ops.nw_scalar import nw
 from ..ops.qgram import qgram_mindiff, qgram_profiles
-from ..ops.search import search_diffs, set_bit_mode
+from ..ops.search import search_diffs_ref, set_bit_mode
 from ..params import Parameters
 from ..progress import Progress
 
@@ -36,6 +36,11 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
 
     progress.init("Find qgram vects: ", n)
     profiles = qgram_profiles(padded, lengths)
+    # reference updates per sequence (src/db.cc:838); replay the same
+    # milestone writes after the batched pass
+    from ..progress import replay_range
+
+    replay_range(progress, n)
     progress.done()
 
     bit_mode = set_bit_mode(d, p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend)
@@ -56,12 +61,19 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
             device_aligner = None
     cutoff = d * max(p.penalty_mismatch, p.penalty_gapopen + p.penalty_gapextend)
 
-    def _exact_diffs(seed_id: int, target_ids: np.ndarray):
+    def _exact_diffs(seed_id: int, target_ids: np.ndarray, compute=None):
+        """Diffs for the FULL ordered search_do target list.
+
+        The reference binary's kernel boundary artifact makes each
+        target's diffs depend on where the channel scheduler placed its
+        blocks within the whole list (ops/search.py:search_diffs_ref),
+        so even screened-out targets must stay in the list; `compute`
+        only skips their DP."""
         qseq = padded[seed_id, : lengths[seed_id]]
         rows = padded[target_ids]
         lens = lengths[target_ids]
         batch_max = int(lens.max())
-        _, diffs, _ = search_diffs(
+        _, diffs, _ = search_diffs_ref(
             qseq,
             rows[:, :batch_max],
             lens,
@@ -69,6 +81,7 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
             p.penalty_gapopen,
             p.penalty_gapextend,
             bit_mode,
+            compute,
         )
         return diffs
 
@@ -82,11 +95,10 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
             seed_id, target_ids,
             p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend,
         )
-        diffs = np.full(len(target_ids), d + 1, dtype=np.int64)
-        surv = np.nonzero(scr <= cutoff)[0]
-        if len(surv):
-            diffs[surv] = _exact_diffs(seed_id, target_ids[surv])
-        return diffs
+        # sound prune vs the artifact kernel: an accepted pair's walked
+        # path is a valid alignment with <= d diffs, whose true cost
+        # bounds the ideal score by d*max(mm, go+ge)
+        return _exact_diffs(seed_id, target_ids, compute=scr <= cutoff)
 
     # ordering state as parallel arrays (the reference's in-place
     # partitioned amplicon array, src/algo.cc:329-708); pool scans are
@@ -351,16 +363,49 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
     p.logfile.write(f"Max generations:   {maxgenerations}\n")
 
 
+def _sort_seeds_stdcxx(db, seeds):
+    """Sort [(seed, mass), ...] exactly as the reference's std::sort
+    does (src/algo.cc:161-183): mass descending, strcmp == -1 ties,
+    introsort-defined order for incomparable pairs."""
+    from .. import _native
+
+    if _native.available():
+        mass = np.array([m for _, m in seeds], dtype=np.int64)
+        seed = np.array([s for s, _ in seeds], dtype=np.int64)
+        if _native.sort_seeds_stdcxx(mass, seed, _native.HeaderArena(db)):
+            return list(zip(seed.tolist(), mass.tolist()))
+
+    from ..stdcxx_sort import stdcxx_sort
+
+    headers = db.headers
+
+    def strcmp_glibc(a: bytes, b: bytes) -> int:
+        """glibc strcmp: difference of the first differing unsigned bytes."""
+        for x, y in zip(a, b):
+            if x != y:
+                return x - y
+        return len(a) - len(b)
+
+    def lt(lhs, rhs) -> bool:
+        if lhs[1] != rhs[1]:
+            return lhs[1] > rhs[1]
+        return strcmp_glibc(headers[lhs[0]], headers[rhs[0]]) == -1
+
+    seeds = list(seeds)
+    stdcxx_sort(seeds, lt)
+    return seeds
+
+
 def _write_seeds(p, db, progress, order, swarmid_arr, n):
     """Collect per-swarm seeds+mass, sort, write (src/algo.cc:123-202).
 
     The reference's tie comparator tests `strcmp(...) == -1`, which with
-    glibc is only true for specific byte differences; ties therefore
-    frequently compare "equal" and keep std::sort's order. We replicate
-    with a stable sort on the same comparator (exact for the insertion-
-    sort regime used on small ranges; see docs/PARITY.md)."""
-    import functools
-
+    glibc is only true when the first differing bytes differ by exactly
+    -1; other equal-mass pairs compare "equal" in BOTH directions, so
+    the comparator is not a strict weak order and the output order of
+    such ties is defined by std::sort's algorithm itself. We replicate
+    libstdc++'s introsort exactly (C fast path sort_seeds_stdcxx;
+    Python mirror in stdcxx_sort.py)."""
     ua = p.opt_usearch_abundance
 
     progress.init("Collecting seeds:    ", n)
@@ -379,31 +424,12 @@ def _write_seeds(p, db, progress, order, swarmid_arr, n):
         previous_id = current_id
         progress.update(i)
     seeds.append((seed, mass))
-    progress.done()
+    # the reference's collect_seeds never calls progress_done
+    # (src/algo.cc:123-158): no "100%" line in -l mode, no newline on
+    # stderr — the next phase's init overwrites the line in place
 
     progress.init("Sorting seeds:    ", len(seeds))
-
-    def strcmp_glibc(a: bytes, b: bytes) -> int:
-        """glibc strcmp: difference of the first differing unsigned bytes."""
-        for x, y in zip(a, b):
-            if x != y:
-                return x - y
-        return len(a) - len(b)
-
-    def compare(lhs, rhs) -> int:
-        if lhs[1] > rhs[1]:
-            return -1
-        if lhs[1] < rhs[1]:
-            return 1
-        status = strcmp_glibc(db.headers[lhs[0]], db.headers[rhs[0]])
-        if status == -1:
-            return -1
-        status = strcmp_glibc(db.headers[rhs[0]], db.headers[lhs[0]])
-        if status == -1:
-            return 1
-        return 0
-
-    seeds.sort(key=functools.cmp_to_key(compare))
+    seeds = _sort_seeds_stdcxx(db, seeds)
     progress.done()
 
     progress.init("Writing seeds:    ", len(seeds))

@@ -75,10 +75,16 @@ class BothRunner:
     def run_one(self, which: str, args, fasta_text, stdin_data=None):
         workdir = self.tmp_path / which
         workdir.mkdir(parents=True, exist_ok=True)
+        args = list(args)
         if fasta_text is not None:
             (workdir / "input.fasta").write_bytes(
                 fasta_text.encode() if isinstance(fasta_text, str) else fasta_text
             )
+            # pass the corpus on the command line unless the test already
+            # names an input (positional arg or explicit '-'); a corpus
+            # that is written but never read makes the test vacuous
+            if "input.fasta" not in args and "-" not in args:
+                args.append("input.fasta")
         if which == "ref":
             cmd = ["swarm"] + list(args)
             executable = str(self.ref_binary)
