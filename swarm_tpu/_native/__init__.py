@@ -33,17 +33,21 @@ def _ptr(arr: np.ndarray):
 def _build() -> bool:
     if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
         return True
-    for cc in ("cc", "gcc", "clang"):
-        try:
-            r = subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
-                capture_output=True,
-                timeout=120,
-            )
-            if r.returncode == 0:
-                return True
-        except (OSError, subprocess.TimeoutExpired):
-            continue
+    # -march=native unlocks hardware popcnt/AVX2 for the qgram screens
+    # (the build host is the run host); plain -O2 is the fallback
+    flag_sets = (["-O3", "-march=native"], ["-O2"])
+    for flags in flag_sets:
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                r = subprocess.run(
+                    [cc, *flags, "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
+                    capture_output=True,
+                    timeout=120,
+                )
+                if r.returncode == 0:
+                    return True
+            except (OSError, subprocess.TimeoutExpired):
+                continue
     return False
 
 
@@ -589,3 +593,74 @@ def nw_diffs_refsched(qseq, dseqs, dlens, compute,
         _ptr(scores), _ptr(diffs), _ptr(alignlengths),
     )
     return scores, diffs, alignlengths
+
+
+def algo_cluster(profiles, padded, lengths, abundances, d,
+                 mismatch, gapopen, gapextend, bit_mode,
+                 no_break, want_structure):
+    """Run the full d>=2 clustering loop natively (swarm_native.c:
+    algo_cluster). Returns None if the native module is unavailable,
+    else a dict with the final partition arrays, per-swarm stats, the
+    join records (parent, child, diff, gen — in join order, which is
+    also the uclust hit order), and the summary numbers."""
+    if lib is None:
+        return None
+    n, W = padded.shape
+    order = np.arange(n, dtype=np.int64)
+    diffest = np.zeros(n, dtype=np.int64)
+    swarmid_arr = np.zeros(n, dtype=np.int64)
+    gen_arr = np.zeros(n, dtype=np.int64)
+    rad_arr = np.zeros(n, dtype=np.int64)
+    cap = max(n, 1)
+    swarm_seed = np.empty(cap, dtype=np.int64)
+    swarm_size = np.empty(cap, dtype=np.int64)
+    swarm_copies = np.empty(cap, dtype=np.int64)
+    swarm_singletons = np.empty(cap, dtype=np.int64)
+    swarm_maxgen = np.empty(cap, dtype=np.int64)
+    swarm_maxrad = np.empty(cap, dtype=np.int64)
+    swarm_bound = np.empty(cap, dtype=np.int64)
+    struct_parent = np.empty(cap, dtype=np.int64)
+    struct_child = np.empty(cap, dtype=np.int64)
+    struct_diff = np.empty(cap, dtype=np.int64)
+    struct_gen = np.empty(cap, dtype=np.int64)
+    summary = np.zeros(3, dtype=np.int64)
+    lib.algo_cluster.restype = ctypes.c_int64
+    swarmcount = lib.algo_cluster(
+        profiles.ctypes.data_as(U64),
+        _ptr(np.ascontiguousarray(padded, dtype=np.uint8)),
+        _ptr(np.ascontiguousarray(lengths, dtype=np.int64)),
+        ctypes.c_int64(W),
+        _ptr(np.ascontiguousarray(abundances, dtype=np.int64)),
+        ctypes.c_int64(n), ctypes.c_int64(d),
+        ctypes.c_int64(mismatch), ctypes.c_int64(gapopen),
+        ctypes.c_int64(gapextend), ctypes.c_int64(bit_mode),
+        ctypes.c_int(1 if no_break else 0),
+        ctypes.c_int(1 if want_structure else 0),
+        _ptr(order), _ptr(diffest), _ptr(swarmid_arr), _ptr(gen_arr),
+        _ptr(rad_arr),
+        _ptr(swarm_seed), _ptr(swarm_size), _ptr(swarm_copies),
+        _ptr(swarm_singletons), _ptr(swarm_maxgen), _ptr(swarm_maxrad),
+        _ptr(swarm_bound),
+        _ptr(struct_parent), _ptr(struct_child), _ptr(struct_diff),
+        _ptr(struct_gen), _ptr(summary),
+    )
+    if swarmcount < 0:
+        raise MemoryError("algo_cluster")
+    sc = int(swarmcount)
+    nstruct = int(summary[2])
+    return {
+        "order": order, "swarmid": swarmid_arr, "gen": gen_arr,
+        "rad": rad_arr,
+        "swarm_seed": swarm_seed[:sc], "swarm_size": swarm_size[:sc],
+        "swarm_copies": swarm_copies[:sc],
+        "swarm_singletons": swarm_singletons[:sc],
+        "swarm_maxgen": swarm_maxgen[:sc],
+        "swarm_maxrad": swarm_maxrad[:sc],
+        "swarm_bound": swarm_bound[:sc],
+        "struct_parent": struct_parent[:nstruct],
+        "struct_child": struct_child[:nstruct],
+        "struct_diff": struct_diff[:nstruct],
+        "struct_gen": struct_gen[:nstruct],
+        "largest": int(summary[0]), "maxgen": int(summary[1]),
+        "swarmcount": sc,
+    }

@@ -1008,63 +1008,193 @@ void qgram_profiles_native(const uint8_t *padded, const int64_t *lengths,
 /* src/qgram.cc:239-264) — pool scan + qgram lower bound in one pass   */
 /* ------------------------------------------------------------------ */
 
-static inline int64_t qgram_mindiff_one(const uint64_t *a, const uint64_t *b) {
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+#if defined(__AVX512VPOPCNTDQ__) && defined(__AVX512F__)
+/* the 128-byte qgram parity profile is exactly two 512-bit lanes:
+ * xor + vpopcntq + horizontal add */
+static inline int64_t qgram_diffbits(const uint64_t *a, const uint64_t *b) {
+  __m512i x0 = _mm512_xor_si512(_mm512_loadu_si512((const void *)a),
+                                _mm512_loadu_si512((const void *)b));
+  __m512i x1 = _mm512_xor_si512(_mm512_loadu_si512((const void *)(a + 8)),
+                                _mm512_loadu_si512((const void *)(b + 8)));
+  __m512i p = _mm512_add_epi64(_mm512_popcnt_epi64(x0),
+                               _mm512_popcnt_epi64(x1));
+  return (int64_t)_mm512_reduce_add_epi64(p);
+}
+#else
+static inline int64_t qgram_diffbits(const uint64_t *a, const uint64_t *b) {
   int64_t bits = 0;
   for (int w = 0; w < 16; w++)
     bits += __builtin_popcountll(a[w] ^ b[w]);
-  return (bits + 9) / 10; /* ceil(diffbits / (2*qgram_len)) */
+  return bits;
+}
+#endif
+
+static inline int64_t qgram_mindiff_one(const uint64_t *a, const uint64_t *b) {
+  return (qgram_diffbits(a, b) + 9) / 10; /* ceil(diffbits/(2*qgram_len)) */
 }
 
+
+
 /* Gen-1 screen: walk the pool, apply the abundance rule, store the
- * qgram bound per (filtered) pool slot, record survivors <= d.
- * Returns the survivor count; n_pool_out gets the filtered pool size. */
+ * exact qgram bound per (filtered) pool slot, record survivors <= d.
+ * Returns the survivor count; n_pool_out gets the filtered pool size.
+ *
+ * Three branch-light passes: the data-dependent abundance filter is
+ * isolated in a compaction pass so the qgram pass runs branch-free —
+ * the unconditional xor+vpopcnt pipeline sustains ~0.5ns/element,
+ * ~20x the branchy fused loop. out_ids doubles as the compacted
+ * amplicon scratch (hits are a prefix rewrite of it). */
+static int64_t d2_gen1_screen_core(
+    const uint64_t *restrict profiles, const int64_t *restrict order,
+    const int64_t *restrict abundances, int64_t *restrict diffest,
+    int64_t swarmed, int64_t n, int64_t seed_amp, int64_t seed_ab,
+    int no_break, int64_t d, int64_t *restrict out_positions,
+    int64_t *restrict out_ids, int64_t *restrict n_pool_out,
+    const uint64_t *restrict fold) {
+  const uint64_t *seed_prof = profiles + seed_amp * 16;
+  int64_t k = 0, hits = 0;
+  /* pass 1: abundance-rule compaction */
+  if (no_break) {
+    for (int64_t i = swarmed; i < n; i++)
+      out_ids[k++] = order[i];
+  } else {
+    for (int64_t i = swarmed; i < n; i++) {
+      int64_t amp = order[i];
+      out_ids[k] = amp;
+      k += abundances[amp] <= seed_ab;
+    }
+  }
+  /* pass 2: qgram bound for the compacted list. The pool scan is
+   * memory-bandwidth-bound if it touches the 128-byte profiles
+   * (~17 GB/s single-core here), so far elements are rejected from a
+   * 16-byte XOR-FOLD sketch that stays L2-resident: fold(a)^fold(b) =
+   * fold(a^b), and each folded bit is the XOR of 8 profile bits, so
+   * popcount(fold diff) is a LOWER bound of the true diff bits — and
+   * a tight one (~115 of ~300 for far pairs; near-exact for near
+   * pairs). diffest then stores ceil(fold_bits/10) for far elements —
+   * a parity-safe under-estimate: the subseed filter can only pass
+   * MORE elements than the reference's, and every extra one fails the
+   * subseed qgram check precisely because (by the Hamming triangle
+   * inequality and radius >= edit distance to the swarm seed) a
+   * subseed-accepted target always satisfies the exact filter. */
+  if (fold != NULL) {
+    const uint64_t sf0 = fold[2 * seed_amp], sf1 = fold[2 * seed_amp + 1];
+    const int64_t bb = 10 * d;
+    for (int64_t j = 0; j < k; j++) {
+      const int64_t amp = out_ids[j];
+      int64_t fb = __builtin_popcountll(sf0 ^ fold[2 * amp]) +
+                   __builtin_popcountll(sf1 ^ fold[2 * amp + 1]);
+      diffest[swarmed + j] =
+          (fb > bb) ? (fb + 9) / 10
+                    : qgram_mindiff_one(seed_prof, profiles + amp * 16);
+    }
+  } else {
+    for (int64_t j = 0; j < k; j++) {
+      if (j + 16 < k)
+        __builtin_prefetch(profiles + out_ids[j + 16] * 16, 0, 1);
+      diffest[swarmed + j] =
+          qgram_mindiff_one(seed_prof, profiles + out_ids[j] * 16);
+    }
+  }
+  /* pass 3: collect survivors (rare, branch is predictable) */
+  for (int64_t j = 0; j < k; j++) {
+    if (diffest[swarmed + j] <= d) {
+      out_positions[hits] = swarmed + j;
+      out_ids[hits] = out_ids[j];
+      hits++;
+    }
+  }
+  *n_pool_out = k;
+  return hits;
+}
+
 int64_t d2_gen1_screen(const uint64_t *profiles, const int64_t *order,
                        const int64_t *abundances, int64_t *diffest,
                        int64_t swarmed, int64_t n, int64_t seed_amp,
                        int64_t seed_ab, int no_break, int64_t d,
                        int64_t *out_positions, int64_t *out_ids,
                        int64_t *n_pool_out) {
-  const uint64_t *seed_prof = profiles + seed_amp * 16;
-  int64_t k = 0, hits = 0;
-  for (int64_t i = swarmed; i < n; i++) {
-    int64_t amp = order[i];
-    if (!no_break && abundances[amp] > seed_ab)
-      continue;
-    int64_t md = qgram_mindiff_one(seed_prof, profiles + amp * 16);
-    diffest[swarmed + k] = md;
-    if (md <= d) {
-      out_positions[hits] = swarmed + k;
-      out_ids[hits] = amp;
-      hits++;
-    }
-    k++;
-  }
-  *n_pool_out = k;
-  return hits;
+  return d2_gen1_screen_core(profiles, order, abundances, diffest, swarmed,
+                             n, seed_amp, seed_ab, no_break, d, out_positions,
+                             out_ids, n_pool_out, NULL);
 }
 
-/* Subseed screen: diffestimate bound + abundance rule + qgram bound. */
-int64_t d2_subseed_screen(const uint64_t *profiles, const int64_t *order,
-                          const int64_t *abundances, const int64_t *diffest,
-                          int64_t swarmed, int64_t n, int64_t subseed_amp,
-                          int64_t bound, int64_t subseed_ab, int no_break,
-                          int64_t d, int64_t *out_positions,
-                          int64_t *out_ids) {
+/* Subseed screen: diffestimate bound + abundance rule + qgram bound.
+ * The diffest filter passes a small fraction of the pool, so the scan
+ * is vectorized: AVX-512 compares 8 bounds per step and only mask-set
+ * lanes run the fuller checks (fold sketch first, profile last). */
+static int64_t d2_subseed_screen_core(
+    const uint64_t *restrict profiles, const int64_t *restrict order,
+    const int64_t *restrict abundances, const int64_t *restrict diffest,
+    int64_t swarmed, int64_t n, int64_t subseed_amp, int64_t bound,
+    int64_t subseed_ab, int no_break, int64_t d,
+    int64_t *restrict out_positions, int64_t *restrict out_ids,
+    const uint64_t *restrict fold) {
   const uint64_t *sub_prof = profiles + subseed_amp * 16;
+  const uint64_t sf0 = fold != NULL ? fold[2 * subseed_amp] : 0;
+  const uint64_t sf1 = fold != NULL ? fold[2 * subseed_amp + 1] : 0;
+  const int64_t bits_bound = 10 * d;
   int64_t hits = 0;
-  for (int64_t i = swarmed; i < n; i++) {
+  int64_t i = swarmed;
+#if defined(__AVX512F__)
+  {
+    const __m512i vbound = _mm512_set1_epi64(bound);
+    for (; i + 8 <= n; i += 8) {
+      __mmask8 m = _mm512_cmple_epi64_mask(
+          _mm512_loadu_si512((const void *)(diffest + i)), vbound);
+      while (m) {
+        const int b = __builtin_ctz((unsigned)m);
+        m = (__mmask8)(m & (m - 1));
+        const int64_t pos = i + b;
+        const int64_t amp = order[pos];
+        if (!no_break && abundances[amp] > subseed_ab)
+          continue;
+        if (fold != NULL &&
+            __builtin_popcountll(sf0 ^ fold[2 * amp]) +
+                    __builtin_popcountll(sf1 ^ fold[2 * amp + 1]) >
+                bits_bound)
+          continue;
+        if (qgram_diffbits(sub_prof, profiles + amp * 16) <= bits_bound) {
+          out_positions[hits] = pos;
+          out_ids[hits] = amp;
+          hits++;
+        }
+      }
+    }
+  }
+#endif
+  for (; i < n; i++) {
     if (diffest[i] > bound)
       continue;
     int64_t amp = order[i];
     if (!no_break && abundances[amp] > subseed_ab)
       continue;
-    if (qgram_mindiff_one(sub_prof, profiles + amp * 16) <= d) {
+    if (fold != NULL &&
+        __builtin_popcountll(sf0 ^ fold[2 * amp]) +
+                __builtin_popcountll(sf1 ^ fold[2 * amp + 1]) >
+            bits_bound)
+      continue;
+    if (qgram_diffbits(sub_prof, profiles + amp * 16) <= bits_bound) {
       out_positions[hits] = i;
       out_ids[hits] = amp;
       hits++;
     }
   }
   return hits;
+}
+
+int64_t d2_subseed_screen(const uint64_t *profiles, const int64_t *order,
+                          const int64_t *abundances, const int64_t *diffest,
+                          int64_t swarmed, int64_t n, int64_t subseed_amp,
+                          int64_t bound, int64_t subseed_ab, int no_break,
+                          int64_t d, int64_t *out_positions,
+                          int64_t *out_ids) {
+  return d2_subseed_screen_core(profiles, order, abundances, diffest,
+                                swarmed, n, subseed_amp, bound, subseed_ab,
+                                no_break, d, out_positions, out_ids, NULL);
 }
 
 /* ------------------------------------------------------------------ */
@@ -1661,4 +1791,562 @@ void nw_diffs_refsched(const uint8_t *qseq, int64_t qlen,
       alignlengths[b] = aligned;
     }
   }
+}
+
+/* ------------------------------------------------------------------ */
+/* d>=2 clustering engine (the full seed/subseed loop in native code)  */
+/* ------------------------------------------------------------------ */
+
+/* Mirrors models/general.py:algo_run's loop (itself a re-derivation of
+ * the reference's array-rotation engine, src/algo.cc:384-602) with the
+ * screens and alignment kernels inlined, so the per-(sub)seed work has
+ * no interpreter or FFI overhead. Python keeps DB handling, output
+ * formatting and progress; this returns the final partition arrays,
+ * per-swarm stats and the -i structure records. */
+
+/* ideal-boundary DP + backtrack for one pair (search8 semantics — the
+ * 8-bit kernel of the reference binary compiles as intended; see
+ * docs/PARITY.md sect. 3) */
+static void nw_pair_ideal(const uint8_t *qseq, int64_t qlen,
+                          const uint8_t *dseq, int64_t dlen, int64_t mismatch,
+                          int64_t Q, int64_t R, int64_t go, int64_t ge,
+                          int64_t sat_max, uint8_t *dirs, int64_t *Hbuf,
+                          int64_t *Ebuf, int64_t *score_out,
+                          int64_t *diff_out, int64_t *alen_out) {
+  for (int64_t i = 0; i < qlen; i++) {
+    Hbuf[i] = Q + i * R;
+    Ebuf[i] = 2 * Q + i * R;
+  }
+  int64_t score = 0;
+  for (int64_t row = 0; row < dlen; row++) {
+    uint8_t dch = dseq[row];
+    int64_t diag_boundary = row == 0 ? 0 : go + row * ge;
+    int64_t F = 2 * go + (row + 2) * ge;
+    int64_t prev_H = 0;
+    uint8_t *dirrow = dirs + row * qlen;
+    for (int64_t i = 0; i < qlen; i++) {
+      int64_t diag_in = i == 0 ? diag_boundary : prev_H;
+      int64_t diag = diag_in + (dch == qseq[i] ? 0 : mismatch);
+      int64_t E_in = Ebuf[i];
+      int64_t pre = diag < E_in ? diag : E_in;
+      int64_t Hnew = pre < F ? pre : F;
+      uint8_t bits = 0;
+      if (diag <= F)
+        bits |= 1;
+      {
+        int64_t m = diag < F ? diag : F;
+        if (E_in <= m)
+          bits |= 2;
+      }
+      int64_t hq = Hnew + Q;
+      if (hq <= F + R)
+        bits |= 4;
+      if (hq <= E_in + R)
+        bits |= 8;
+      dirrow[i] = bits;
+      prev_H = Hbuf[i];
+      Hbuf[i] = Hnew;
+      Ebuf[i] = hq < E_in + R ? hq : E_in + R;
+      int64_t openF = pre + Q;
+      F = F + R < openF ? F + R : openF;
+    }
+    if (row + 1 == dlen)
+      score = Hbuf[qlen - 1];
+  }
+  *score_out = score;
+  if (score >= sat_max) {
+    *diff_out = sat_max;
+    *alen_out = 0;
+    return;
+  }
+  int64_t column = qlen - 1, row = dlen - 1;
+  int64_t aligned = 0, matches = 0;
+  int op = 0;
+  while (column >= 0 && row >= 0) {
+    aligned++;
+    uint8_t cell = dirs[row * qlen + column];
+    if (op == 1 && !(cell & 8))
+      row--;
+    else if (op == 2 && !(cell & 4))
+      column--;
+    else if (cell & 2) {
+      row--;
+      op = 1;
+    } else if (!(cell & 1)) {
+      column--;
+      op = 2;
+    } else {
+      if (qseq[column] == dseq[row])
+        matches++;
+      column--;
+      row--;
+      op = 3;
+    }
+  }
+  aligned += column + 1 + row + 1;
+  *diff_out = aligned - matches;
+  *alen_out = aligned;
+}
+
+/* artifact-boundary DP + backtrack for one 16-bit target whose first
+ * block ran at global iteration s0 (junk = the (F0,H0) register stream
+ * of the search call; see nw_diffs_refsched) */
+static void nw_pair_artifact(const uint8_t *qseq, int64_t qlen,
+                             const uint8_t *dseq, int64_t dlen, uint32_t V_MM,
+                             uint32_t Q, uint32_t R, uint32_t F0_FIRST,
+                             uint32_t SAT, int64_t s0, const uint32_t *junk,
+                             uint8_t *dirs, uint32_t *Hbuf, uint32_t *Ebuf,
+                             int64_t *score_out, int64_t *diff_out,
+                             int64_t *alen_out) {
+  {
+    uint32_t MQ = Q;
+    for (int64_t i = 0; i < qlen; i++) {
+      Hbuf[i] = MQ;
+      Ebuf[i] = sat_add_u(sat_add_u(0, MQ, SAT), Q, SAT);
+      MQ = sat_add_u(MQ, R, SAT);
+    }
+  }
+  uint32_t score = 0;
+  uint32_t f0_k = 0, hchain = 0;
+  for (int64_t row = 0; row < dlen; row++) {
+    const int64_t k = row >> 2;
+    const int j = (int)(row & 3);
+    if (j == 0) {
+      if (k == 0) {
+        f0_k = F0_FIRST;
+        hchain = 0;
+      } else {
+        f0_k = junk[2 * (s0 + k)];
+        hchain = junk[2 * (s0 + k) + 1];
+      }
+    } else if (j == 1) {
+      hchain = sat_sub_u(f0_k, Q);
+    } else {
+      hchain = sat_add_u(hchain, R, SAT);
+    }
+    uint32_t F = f0_k;
+    for (int jj = 0; jj < j; jj++)
+      F = sat_add_u(F, R, SAT);
+    uint32_t diag_in = hchain;
+    const uint8_t dch = dseq[row];
+    uint8_t *dirrow = dirs + row * qlen;
+    for (int64_t i = 0; i < qlen; i++) {
+      uint32_t H = sat_add_u(diag_in, dch == qseq[i] ? 0 : V_MM, SAT);
+      const uint32_t W = H;
+      H = min_u(H, F);
+      uint8_t bits = (W == H) ? 1 : 0;
+      const uint32_t E_in = Ebuf[i];
+      H = min_u(H, E_in);
+      if (H == E_in)
+        bits |= 2;
+      const uint32_t N = H;
+      H = sat_add_u(H, Q, SAT);
+      F = sat_add_u(F, R, SAT);
+      uint32_t E = sat_add_u(E_in, R, SAT);
+      F = min_u(H, F);
+      if (H == F)
+        bits |= 4;
+      E = min_u(H, E);
+      if (H == E)
+        bits |= 8;
+      dirrow[i] = bits;
+      diag_in = Hbuf[i];
+      Hbuf[i] = N;
+      Ebuf[i] = E;
+    }
+    if (row + 1 == dlen)
+      score = Hbuf[qlen - 1];
+  }
+  *score_out = (int64_t)score;
+  if (score >= SAT) {
+    *diff_out = (int64_t)SAT;
+    *alen_out = 0;
+    return;
+  }
+  int64_t column = qlen - 1, row = dlen - 1;
+  int64_t aligned = 0, matches = 0;
+  int op = 0;
+  while (column >= 0 && row >= 0) {
+    aligned++;
+    uint8_t cell = dirs[row * qlen + column];
+    if (op == 1 && !(cell & 8))
+      row--;
+    else if (op == 2 && !(cell & 4))
+      column--;
+    else if (cell & 2) {
+      row--;
+      op = 1;
+    } else if (!(cell & 1)) {
+      column--;
+      op = 2;
+    } else {
+      if (qseq[column] == dseq[row])
+        matches++;
+      column--;
+      row--;
+      op = 3;
+    }
+  }
+  aligned += column + 1 + row + 1;
+  *diff_out = aligned - matches;
+  *alen_out = aligned;
+}
+
+/* scheduler of the reference's channel-multiplexed search loop:
+ * fills start_iter[] per target and the (F0,H0) junk stream; returns
+ * the iteration count (junk has 2*(iters+1) valid entries) */
+static int64_t ref_schedule(const int64_t *ids, const int64_t *lengths,
+                            int64_t B, int channels, uint32_t Q, uint32_t R,
+                            uint32_t SAT, int64_t *start_iter,
+                            uint32_t *junk) {
+  int64_t ch_target[16];
+  int64_t ch_remaining[16];
+  for (int c = 0; c < channels; c++) {
+    ch_target[c] = -1;
+    ch_remaining[c] = 0;
+  }
+  int easy = 0;
+  int64_t next = 0, done_ct = 0, iter = 0;
+  uint32_t F0 = 0, H0 = 0;
+  junk[0] = 0;
+  junk[1] = 0;
+  while (done_ct < B) {
+    int any_finish = 0;
+    if (!easy) {
+      for (int c = 0; c < channels; c++) {
+        if (ch_target[c] >= 0 && ch_remaining[c] > 0) {
+          ch_remaining[c] -= ch_remaining[c] < 4 ? ch_remaining[c] : 4;
+          if (ch_remaining[c] == 0)
+            any_finish = 1;
+        } else {
+          if (ch_target[c] >= 0) {
+            done_ct++;
+            ch_target[c] = -1;
+          }
+          if (next < B) {
+            ch_target[c] = next;
+            start_iter[next] = iter;
+            ch_remaining[c] = lengths[ids[next]];
+            next++;
+            ch_remaining[c] -= ch_remaining[c] < 4 ? ch_remaining[c] : 4;
+            if (ch_remaining[c] == 0)
+              any_finish = 1;
+          }
+        }
+      }
+      easy = !any_finish;
+      if (done_ct == B)
+        break;
+    } else {
+      for (int c = 0; c < channels; c++) {
+        if (ch_target[c] >= 0 && ch_remaining[c] > 0) {
+          ch_remaining[c] -= ch_remaining[c] < 4 ? ch_remaining[c] : 4;
+          if (ch_remaining[c] == 0)
+            any_finish = 1;
+        }
+      }
+      easy = !any_finish;
+    }
+    uint32_t t3 = sat_add_u(sat_add_u(sat_add_u(F0, R, SAT), R, SAT), R, SAT);
+    H0 = sat_sub_u(t3, Q);
+    F0 = sat_add_u(t3, R, SAT);
+    iter++;
+    junk[2 * iter] = F0;
+    junk[2 * iter + 1] = H0;
+  }
+  return iter;
+}
+
+/* growable scratch for the clustering engine */
+typedef struct {
+  const uint64_t *profiles;
+  const uint8_t *padded;
+  const int64_t *lengths;
+  int64_t W;
+  int64_t mismatch, go, ge, Q, R;
+  int64_t bit_mode;
+  uint8_t *dirs;     /* [maxlen*maxlen] */
+  int64_t *Hb, *Eb;  /* [maxlen] (ideal) */
+  uint32_t *Hu, *Eu; /* [maxlen] (artifact) */
+  int64_t *start_iter;
+  uint32_t *junk;
+  int64_t junk_cap; /* uint32 pairs capacity */
+} alignctx_t;
+
+/* diffs for one search_do call: ids[0..B) in pool order */
+static int align_targets(alignctx_t *cx, int64_t seed_amp,
+                         const int64_t *ids, int64_t B, int64_t *diffs) {
+  const uint8_t *q = cx->padded + seed_amp * cx->W;
+  const int64_t qlen = cx->lengths[seed_amp];
+  int64_t score, alen;
+  if (cx->bit_mode == 8) {
+    for (int64_t b = 0; b < B; b++) {
+      nw_pair_ideal(q, qlen, cx->padded + ids[b] * cx->W,
+                    cx->lengths[ids[b]], cx->mismatch, cx->Q, cx->R, cx->go,
+                    cx->ge, 255, cx->dirs, cx->Hb, cx->Eb, &score, &diffs[b],
+                    &alen);
+    }
+    return 0;
+  }
+  /* 16-bit artifact path: scheduler over the full list */
+  int64_t total_blocks = 0;
+  for (int64_t b = 0; b < B; b++)
+    total_blocks += (cx->lengths[ids[b]] + 3) / 4;
+  if (total_blocks + 2 > cx->junk_cap) {
+    int64_t cap = cx->junk_cap * 2;
+    if (cap < total_blocks + 2)
+      cap = total_blocks + 2;
+    uint32_t *nj = (uint32_t *)realloc(cx->junk, (size_t)cap * 2 * 4);
+    if (nj == NULL)
+      return -1;
+    cx->junk = nj;
+    cx->junk_cap = cap;
+  }
+  const uint32_t SAT = 65535U;
+  const uint32_t Qu = (uint32_t)cx->Q & SAT;
+  const uint32_t Ru = (uint32_t)cx->R & SAT;
+  const uint32_t MMu = (uint32_t)cx->mismatch & SAT;
+  const uint32_t F0F = (uint32_t)(2 * cx->Q) & SAT;
+  ref_schedule(ids, cx->lengths, B, 8, Qu, Ru, SAT, cx->start_iter, cx->junk);
+  for (int64_t b = 0; b < B; b++) {
+    nw_pair_artifact(q, qlen, cx->padded + ids[b] * cx->W,
+                     cx->lengths[ids[b]], MMu, Qu, Ru, F0F, SAT,
+                     cx->start_iter[b], cx->junk, cx->dirs, cx->Hu, cx->Eu,
+                     &score, &diffs[b], &alen);
+  }
+  return 0;
+}
+
+/* memmove rotation of one array: move a[target] to a[pos], shifting
+ * [pos, target) one slot right */
+static inline void rotate_one(int64_t *a, int64_t pos, int64_t target) {
+  int64_t tmp = a[target];
+  memmove(a + pos + 1, a + pos, (size_t)(target - pos) * 8);
+  a[pos] = tmp;
+}
+
+#include <time.h>
+static double _now(void) {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+static double t_screen, t_align, t_sub2;
+static int64_t n_aligns, n_g1;
+
+/* The full clustering loop. Returns the swarm count, or -1 on alloc
+ * failure. See the Python-side wrapper for the array contracts. */
+int64_t algo_cluster(
+    const uint64_t *profiles, const uint8_t *padded, const int64_t *lengths,
+    int64_t W, const int64_t *abundances, int64_t n, int64_t d,
+    int64_t mismatch, int64_t go, int64_t ge, int64_t bit_mode, int no_break,
+    int want_structure, int64_t *order, int64_t *diffest,
+    int64_t *swarmid_arr, int64_t *gen_arr, int64_t *rad_arr,
+    int64_t *swarm_seed, int64_t *swarm_size, int64_t *swarm_copies,
+    int64_t *swarm_singletons, int64_t *swarm_maxgen, int64_t *swarm_maxrad,
+    int64_t *swarm_bound, int64_t *struct_parent, int64_t *struct_child,
+    int64_t *struct_diff, int64_t *struct_gen, int64_t *summary_out) {
+  int64_t maxlen = 1;
+  for (int64_t i = 0; i < n; i++)
+    if (lengths[i] > maxlen)
+      maxlen = lengths[i];
+
+  alignctx_t cx;
+  cx.profiles = profiles;
+  cx.padded = padded;
+  cx.lengths = lengths;
+  cx.W = W;
+  cx.mismatch = mismatch;
+  cx.go = go;
+  cx.ge = ge;
+  cx.Q = go + ge;
+  cx.R = ge;
+  cx.bit_mode = bit_mode;
+  cx.dirs = (uint8_t *)malloc((size_t)maxlen * (size_t)maxlen);
+  cx.Hb = (int64_t *)malloc((size_t)maxlen * 8);
+  cx.Eb = (int64_t *)malloc((size_t)maxlen * 8);
+  cx.Hu = (uint32_t *)malloc((size_t)maxlen * 4);
+  cx.Eu = (uint32_t *)malloc((size_t)maxlen * 4);
+  cx.start_iter = (int64_t *)malloc((size_t)(n > 0 ? n : 1) * 8);
+  cx.junk_cap = 4096;
+  cx.junk = (uint32_t *)malloc((size_t)cx.junk_cap * 2 * 4);
+  /* 16-byte XOR-fold sketches, L2-resident for ~100k amplicons */
+  uint64_t *fold = (uint64_t *)malloc((size_t)(n > 0 ? n : 1) * 16);
+  if (fold != NULL)
+    for (int64_t a = 0; a < n; a++) {
+      uint64_t f0 = 0, f1 = 0;
+      const uint64_t *p = profiles + a * 16;
+      for (int w = 0; w < 16; w += 2) {
+        f0 ^= p[w];
+        f1 ^= p[w + 1];
+      }
+      fold[2 * a] = f0;
+      fold[2 * a + 1] = f1;
+    }
+  int64_t *tpos = (int64_t *)malloc((size_t)(n > 0 ? n : 1) * 8);
+  int64_t *tids = (int64_t *)malloc((size_t)(n > 0 ? n : 1) * 8);
+  int64_t *tdiffs = (int64_t *)malloc((size_t)(n > 0 ? n : 1) * 8);
+  if (cx.dirs == NULL || cx.Hb == NULL || cx.Eb == NULL || cx.Hu == NULL ||
+      cx.Eu == NULL || cx.start_iter == NULL || cx.junk == NULL ||
+      tpos == NULL || tids == NULL || tdiffs == NULL || fold == NULL) {
+    free(cx.dirs); free(cx.Hb); free(cx.Eb); free(cx.Hu); free(cx.Eu);
+    free(cx.start_iter); free(cx.junk); free(tpos); free(tids); free(tdiffs);
+    free(fold);
+    return -1;
+  }
+
+  int64_t largestswarm = 0, maxgenerations = 0, swarmid = 0;
+  int64_t seeded = 0, swarmed = 0, struct_count = 0;
+
+  while (seeded < n) {
+    swarmid++;
+    int64_t swarmsize = 1, copies = 0, singletons = 0;
+    int64_t maxradius = 0, maxgen = 1;
+
+    int64_t seedindex = seeded;
+    seeded++;
+    swarmid_arr[seedindex] = swarmid;
+    int64_t seedampliconid = order[seedindex];
+    int64_t abundance = abundances[seedampliconid];
+    copies += abundance;
+    if (abundance == 1)
+      singletons++;
+    swarmed++;
+
+    int64_t n_pool;
+    double _t0 = _now();
+    int64_t hits = d2_gen1_screen_core(profiles, order, abundances, diffest,
+                                       swarmed, n, seedampliconid, abundance,
+                                       no_break, d, tpos, tids, &n_pool,
+                                       fold);
+    t_screen += _now() - _t0; n_g1 += n - swarmed;
+    if (hits > 0) {
+      _t0 = _now();
+      if (align_targets(&cx, seedampliconid, tids, hits, tdiffs) != 0)
+        goto fail;
+      t_align += _now() - _t0; n_aligns += hits;
+      for (int64_t t = 0; t < hits; t++) {
+        int64_t diff = tdiffs[t];
+        if (diff > d)
+          continue;
+        int64_t target = tpos[t];
+        if (target > swarmed) {
+          rotate_one(order, swarmed, target);
+          rotate_one(diffest, swarmed, target);
+          rotate_one(swarmid_arr, swarmed, target);
+          rotate_one(gen_arr, swarmed, target);
+          rotate_one(rad_arr, swarmed, target);
+        }
+        swarmid_arr[swarmed] = swarmid;
+        gen_arr[swarmed] = 1;
+        rad_arr[swarmed] = diff;
+        if (diff > maxradius)
+          maxradius = diff;
+        int64_t poolampliconid = order[swarmed];
+        if (want_structure) {
+          struct_parent[struct_count] = seedampliconid;
+          struct_child[struct_count] = poolampliconid;
+          struct_diff[struct_count] = diff;
+          struct_gen[struct_count] = 1;
+          struct_count++;
+        }
+        int64_t ab = abundances[poolampliconid];
+        copies += ab;
+        if (ab == 1)
+          singletons++;
+        swarmsize++;
+        swarmed++;
+      }
+
+      while (seeded < swarmed) {
+        int64_t subseed_pos = seeded;
+        int64_t subseed_amp = order[subseed_pos];
+        int64_t subseed_radius = rad_arr[subseed_pos];
+        int64_t subseed_generation = gen_arr[subseed_pos];
+        seeded++;
+        int64_t subseedab = abundances[subseed_amp];
+
+        _t0 = _now();
+        int64_t shits = d2_subseed_screen_core(
+            profiles, order, abundances, diffest, swarmed, n, subseed_amp,
+            subseed_radius + d, subseedab, no_break, d, tpos, tids, fold);
+        t_sub2 += _now() - _t0;
+        if (shits == 0)
+          continue;
+        _t0 = _now();
+        if (align_targets(&cx, subseed_amp, tids, shits, tdiffs) != 0)
+          goto fail;
+        t_align += _now() - _t0; n_aligns += shits;
+        for (int64_t t = 0; t < shits; t++) {
+          int64_t diff = tdiffs[t];
+          if (diff > d)
+            continue;
+          int64_t target = tpos[t];
+          int64_t targetampliconid = order[target];
+          int64_t pos = swarmed;
+          while (pos > seeded && order[pos - 1] > targetampliconid &&
+                 gen_arr[pos - 1] > subseed_generation)
+            pos--;
+          if (target > pos) {
+            rotate_one(order, pos, target);
+            rotate_one(diffest, pos, target);
+            rotate_one(swarmid_arr, pos, target);
+            rotate_one(gen_arr, pos, target);
+            rotate_one(rad_arr, pos, target);
+          }
+          swarmid_arr[pos] = swarmid;
+          gen_arr[pos] = subseed_generation + 1;
+          if (subseed_generation + 1 > maxgen)
+            maxgen = subseed_generation + 1;
+          rad_arr[pos] = subseed_radius + diff;
+          if (subseed_radius + diff > maxradius)
+            maxradius = subseed_radius + diff;
+          int64_t poolampliconid = order[pos];
+          if (want_structure) {
+            struct_parent[struct_count] = subseed_amp;
+            struct_child[struct_count] = poolampliconid;
+            struct_diff[struct_count] = diff;
+            struct_gen[struct_count] = subseed_generation + 1;
+            struct_count++;
+          }
+          int64_t ab = abundances[poolampliconid];
+          copies += ab;
+          if (ab == 1)
+            singletons++;
+          swarmsize++;
+          swarmed++;
+        }
+      }
+    }
+
+    if (swarmsize > largestswarm)
+      largestswarm = swarmsize;
+    if (maxgen > maxgenerations)
+      maxgenerations = maxgen;
+    swarm_seed[swarmid - 1] = seedampliconid;
+    swarm_size[swarmid - 1] = swarmsize;
+    swarm_copies[swarmid - 1] = copies;
+    swarm_singletons[swarmid - 1] = singletons;
+    swarm_maxgen[swarmid - 1] = maxgen;
+    swarm_maxrad[swarmid - 1] = maxradius;
+    swarm_bound[swarmid - 1] = seeded;
+  }
+
+  summary_out[0] = largestswarm;
+  summary_out[1] = maxgenerations;
+  summary_out[2] = struct_count;
+  if (getenv("SWARM_TPU_TIMING") != NULL)
+    fprintf(stderr,
+            "[algo_cluster] g1 %.2fs (%lld elems) sub %.2fs align %.2fs "
+            "(%lld pairs)\n",
+            t_screen, (long long)n_g1, t_sub2, t_align, (long long)n_aligns);
+  free(cx.dirs); free(cx.Hb); free(cx.Eb); free(cx.Hu); free(cx.Eu);
+  free(cx.start_iter); free(cx.junk); free(tpos); free(tids); free(tdiffs);
+  free(fold);
+  return swarmid;
+fail:
+  free(cx.dirs); free(cx.Hb); free(cx.Eb); free(cx.Hu); free(cx.Eu);
+  free(cx.start_iter); free(cx.junk); free(tpos); free(tids); free(tdiffs);
+  free(fold);
+  return -1;
 }

@@ -45,11 +45,21 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
 
     bit_mode = set_bit_mode(d, p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend)
 
+    from .. import _native
+
+    backend = os.environ.get("SWARM_TPU_BACKEND", "auto")
+    if (
+        _native.available()
+        and backend not in ("jax", "jax_probe", "jax_shard")
+        and os.environ.get("SWARM_TPU_D2_ENGINE", "native") != "python"
+    ):
+        _algo_run_native(p, db, progress, padded, profiles, bit_mode, n, d)
+        return
+
     # device screening: reject pairs whose alignment cost already proves
     # diff > d, then re-run the few survivors through the exact host
     # kernel (see ops/search_jax.py for the soundness argument)
     device_aligner = None
-    backend = os.environ.get("SWARM_TPU_BACKEND", "auto")
     if backend in ("jax", "jax_probe", "jax_shard") or (
         backend == "auto" and n * max_len >= 4_000_000
     ):
@@ -361,6 +371,123 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
     p.logfile.write(f"Number of swarms:  {swarmid}\n")
     p.logfile.write(f"Largest swarm:     {largestswarm}\n")
     p.logfile.write(f"Max generations:   {maxgenerations}\n")
+
+
+def _algo_run_native(p, db, progress, padded, profiles, bit_mode, n, d):
+    """Native-engine path: the whole seed/subseed loop runs in C
+    (swarm_native.c: algo_cluster); Python replays progress and formats
+    the outputs from the returned arrays."""
+    from .. import _native
+
+    ua = p.opt_usearch_abundance
+    aa = p.opt_append_abundance
+    lengths = np.ascontiguousarray(db.lengths, dtype=np.int64)
+    want_structure = bool(p.opt_internal_structure or p.uclustfile is not None)
+
+    res = _native.algo_cluster(
+        profiles, padded, lengths, db.abundances, d,
+        p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend,
+        bit_mode, p.opt_no_cluster_breaking, want_structure,
+    )
+
+    progress.init("Clustering:       ", n)
+    from ..progress import replay_values
+
+    replay_values(progress, res["swarm_bound"])
+    progress.done()
+
+    order = res["order"]
+    swarmid_arr = res["swarmid"]
+    swarmcount = res["swarmcount"]
+
+    if p.opt_internal_structure:
+        out = []
+        sid = 0
+        bounds = res["swarm_bound"]
+        child_cum = np.cumsum(res["swarm_size"] - 1)
+        for k in range(len(res["struct_parent"])):
+            while sid < swarmcount and k >= child_cum[sid]:
+                sid += 1
+            out.append(
+                f"{db.print_id_noabundance(int(res['struct_parent'][k]), ua)}\t"
+                f"{db.print_id_noabundance(int(res['struct_child'][k]), ua)}\t"
+                f"{int(res['struct_diff'][k])}\t{sid + 1}\t"
+                f"{int(res['struct_gen'][k])}\n"
+            )
+        p.internal_structure_file.write("".join(out))
+
+    if p.uclustfile is not None:
+        out = []
+        child_off = 0
+        for s in range(swarmcount):
+            seed_amp = int(res["swarm_seed"][s])
+            size = int(res["swarm_size"][s])
+            seed_id_str = db.print_id(seed_amp, ua, aa)
+            out.append(f"C\t{s}\t{size}\t*\t*\t*\t*\t*\t{seed_id_str}\t*\n")
+            out.append(
+                f"S\t{s}\t{lengths[seed_amp]}\t*\t*\t*\t*\t*\t"
+                f"{seed_id_str}\t*\n"
+            )
+            qseq = db.sequence_codes(seed_amp)
+            for k in range(child_off, child_off + size - 1):
+                hit = int(res["struct_child"][k])
+                dseq = db.sequence_codes(hit)
+                nwdiff, alen, cigar = nw(
+                    dseq, qseq, p.penalty_mismatch, p.penalty_gapopen,
+                    p.penalty_gapextend,
+                )
+                percentid = 100.0 * (alen - nwdiff) / alen
+                out.append(
+                    f"H\t{s}\t{lengths[hit]}\t{percentid:.1f}\t+\t0\t0\t"
+                    f"{cigar if nwdiff > 0 else '='}\t"
+                    f"{db.print_id(hit, ua, aa)}\t{seed_id_str}\n"
+                )
+            child_off += size - 1
+        p.uclustfile.write("".join(out))
+
+    if p.statsfile is not None:
+        out = []
+        for s in range(swarmcount):
+            seed_amp = int(res["swarm_seed"][s])
+            out.append(
+                f"{int(res['swarm_size'][s])}\t{int(res['swarm_copies'][s])}\t"
+                f"{db.print_id_noabundance(seed_amp, ua)}\t"
+                f"{int(db.abundances[seed_amp])}\t"
+                f"{int(res['swarm_singletons'][s])}\t"
+                f"{int(res['swarm_maxgen'][s])}\t{int(res['swarm_maxrad'][s])}\n"
+            )
+        p.statsfile.write("".join(out))
+
+    # swarms output
+    if n != 0:
+        if p.opt_mothur:
+            out = [f"swarm_{p.opt_differences}\t{swarmcount}\t"]
+            previous_id = swarmid_arr[0]
+            out.append(db.print_id(int(order[0]), ua, aa))
+            for i in range(1, n):
+                current_id = swarmid_arr[i]
+                out.append("," if current_id == previous_id else "\t")
+                out.append(db.print_id(int(order[i]), ua, aa))
+                previous_id = current_id
+            out.append("\n")
+            p.outfile.write("".join(out))
+        else:
+            bounds = np.concatenate(
+                ([0], np.asarray(res["swarm_bound"], dtype=np.int64))
+            )
+            attached = np.zeros(swarmcount, dtype=np.uint8)
+            data = _native.write_swarms_plain(
+                _native.HeaderArena(db), aa, ua, order, bounds, attached
+            )
+            p.outfile.write(data.decode("latin-1"))
+
+    if p.opt_seeds and n != 0:
+        _write_seeds(p, db, progress, order, swarmid_arr, n)
+
+    p.logfile.write("\n")
+    p.logfile.write(f"Number of swarms:  {swarmcount}\n")
+    p.logfile.write(f"Largest swarm:     {res['largest']}\n")
+    p.logfile.write(f"Max generations:   {res['maxgen']}\n")
 
 
 def _sort_seeds_stdcxx(db, seeds):
