@@ -1,26 +1,33 @@
 #!/usr/bin/env python3
-"""Round benchmark: d=1 clustering throughput vs the reference binary.
+"""Round benchmark: the BASELINE.md config matrix vs the reference binary.
 
-Prints ONE JSON line:
+Prints ONE JSON line whose headline metric is the north-star config
+(1M amplicons, d=1) and whose "configs" object carries the full matrix:
+
   {"metric": "d1_cluster_amps_per_s", "value": N, "unit": "amplicons/s",
-   "vs_baseline": ours/reference}
+   "vs_baseline": ours_warm/reference, "configs": {...}}
 
-Methodology: both sides cluster the same deterministic synthetic corpus
-(default 1M dereplicated amplicons (the BASELINE.md north-star scale), ~150 nt, amplicon clouds around
-random centers) end to end — fasta from disk, -o/-s outputs written —
-in the hot/steady state:
-  - reference (torognes/swarm built from /root/reference with `make`):
-    subprocess, all host cores, best of 3 runs (page cache warm);
-  - swarm_tpu: in-process pipeline on the device backend, best of 2
-    runs after one warm-up run (XLA executables compiled/loaded once —
-    the serving model for a resident clustering service; the persistent
-    compile cache gives fresh CLI processes the same executables).
-Both timings include fasta parsing, clustering, and output writing.
+Per config we report:
+  ref_s            reference binary wall (subprocess, best of 3,
+                   all host cores via -t)
+  warm_s           swarm_tpu in-process wall, best of 2 after a warm-up
+                   run (XLA executables compiled/loaded once — the
+                   serving model; the persistent compile cache gives
+                   fresh CLI processes the same executables)
+  cold_s           swarm_tpu as a cold CLI subprocess (interpreter +
+                   imports + compile-cache load included), one run
+  vs_baseline      ref_s / warm_s
+  vs_baseline_cold ref_s / cold_s
+  comparisons_per_s candidate pairs examined per second (swarm_tpu
+                   warm run; see swarm_tpu/metrics.py for what counts)
+  parity           outputs byte-identical to the reference
 
-Environment knobs: SWARM_TPU_BENCH_N (amplicon count), SWARM_TPU_BENCH_LEN
-(read length), SWARM_TPU_BENCH_BACKEND (jax|jax_probe|jax_shard|numpy).
+Environment knobs: SWARM_TPU_BENCH_CONFIGS (comma list; default all),
+SWARM_TPU_BENCH_N (override headline corpus size),
+SWARM_TPU_BENCH_BACKEND (jax|jax_probe|jax_shard|numpy).
 """
 
+import contextlib
 import json
 import os
 import shutil
@@ -35,6 +42,27 @@ REPO = Path(__file__).resolve().parent
 REF_SRC = Path("/root/reference")
 REF_BUILD = Path("/tmp/swarm_ref_build_bench")
 WORK = Path("/tmp/swarm_tpu_bench")
+
+HEADLINE = "d1_1m"
+
+CONFIGS = {
+    # BASELINE.json config 1: d=1 small with seeds output
+    "d1_small": dict(n=10_000, length=150, flags=["-d", "1", "-w", "{seeds}"]),
+    # config 2: d=1 full output set on 100k
+    "d1_full_100k": dict(
+        n=100_000, length=150,
+        flags=["-d", "1", "-u", "{u}", "-i", "{i}", "-w", "{seeds}"],
+    ),
+    # config 3: the general path on long amplicons
+    "d2_long": dict(n=20_000, length=400, flags=["-d", "2"]),
+    # config 4: fastidious with memory-cap flags
+    "d1_fastidious": dict(
+        n=200_000, length=150, flags=["-d", "1", "-f", "-y", "12"],
+    ),
+    # config 5 (headline): the 1M corpus; multi-host streaming is
+    # exercised separately by __graft_entry__.dryrun_multichip
+    "d1_1m": dict(n=1_000_000, length=150, flags=["-d", "1"]),
+}
 
 
 def log(msg: str) -> None:
@@ -100,95 +128,155 @@ def gen_corpus(path: Path, n: int, length: int, seed: int = 20260816) -> int:
     return idx
 
 
-def time_reference(ref_bin: Path, fasta: Path, threads: int) -> float:
-    args = [
-        str(ref_bin), "-t", str(threads), "-d", "1",
-        "-o", str(WORK / "ref_o.txt"), "-s", str(WORK / "ref_s.txt"),
-        str(fasta),
-    ]
+def corpus_for(name: str, cfg: dict) -> tuple:
+    WORK.mkdir(parents=True, exist_ok=True)
+    fasta = WORK / f"bench_{cfg['n']}_{cfg['length']}.fasta"
+    count_file = WORK / f"{fasta.name}.count"
+    if not fasta.exists() or not count_file.exists():
+        log(f"[{name}] generating corpus n={cfg['n']} len~{cfg['length']} ...")
+        n_actual = gen_corpus(fasta, cfg["n"], cfg["length"])
+        count_file.write_text(str(n_actual))
+    return fasta, int(count_file.read_text())
+
+
+def build_args(cfg: dict, tag: str) -> list:
+    sub = {
+        "seeds": str(WORK / f"{tag}_w.fasta"),
+        "u": str(WORK / f"{tag}_u.txt"),
+        "i": str(WORK / f"{tag}_i.txt"),
+    }
+    args = [f.format(**sub) for f in cfg["flags"]]
+    args += ["-o", str(WORK / f"{tag}_o.txt"), "-s", str(WORK / f"{tag}_s.txt")]
+    return args
+
+
+def output_files(cfg: dict, tag: str) -> list:
+    files = [WORK / f"{tag}_o.txt", WORK / f"{tag}_s.txt"]
+    for flag, key in (("-w", "w.fasta"), ("-u", "u.txt"), ("-i", "i.txt")):
+        if flag in cfg["flags"]:
+            files.append(WORK / f"{tag}_{key.split('.')[0]}.{key.split('.')[1]}")
+    return files
+
+
+def time_reference(ref_bin: Path, fasta: Path, cfg: dict, threads: int) -> float:
+    args = [str(ref_bin), "-t", str(threads)] + build_args(cfg, "ref") + [str(fasta)]
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         r = subprocess.run(args, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         dt = time.perf_counter() - t0
         if r.returncode != 0:
-            raise RuntimeError("reference run failed")
+            raise RuntimeError(f"reference run failed: {args}")
         best = min(best, dt)
     return best
 
 
-def time_ours(fasta: Path, backend: str) -> float:
+def time_ours_warm(fasta: Path, cfg: dict, backend: str) -> tuple:
     os.environ["SWARM_TPU_BACKEND"] = backend
     sys.path.insert(0, str(REPO))
     from swarm_tpu.main import run
+    from swarm_tpu import metrics
 
-    argv = [
-        "-d", "1",
-        "-o", str(WORK / "tpu_o.txt"), "-s", str(WORK / "tpu_s.txt"),
-        str(fasta),
-    ]
-    log("warm-up run (compiles/loads XLA executables) ...")
+    argv = build_args(cfg, "tpu") + [str(fasta)]
+    devnull = open(os.devnull, "w")
     t0 = time.perf_counter()
-    rc = run(argv, "swarm")
-    log(f"warm-up done in {time.perf_counter() - t0:.1f}s (rc={rc})")
+    with contextlib.redirect_stderr(devnull):
+        rc = run(argv, "swarm")
+    log(f"  warm-up done in {time.perf_counter() - t0:.1f}s (rc={rc})")
     if rc != 0:
         raise RuntimeError("swarm_tpu warmup failed")
     best = float("inf")
-    for _ in range(3):
+    comparisons = 0
+    for _ in range(2):
+        metrics.reset()
         t0 = time.perf_counter()
-        rc = run(argv, "swarm")
+        with contextlib.redirect_stderr(devnull):
+            rc = run(argv, "swarm")
         dt = time.perf_counter() - t0
         if rc != 0:
             raise RuntimeError("swarm_tpu run failed")
-        best = min(best, dt)
-    return best
+        if dt < best:
+            best = dt
+            comparisons = metrics.total_comparisons()
+    devnull.close()
+    return best, comparisons
+
+
+def time_ours_cold(fasta: Path, cfg: dict, backend: str) -> float:
+    argv = build_args(cfg, "tpu") + [str(fasta)]
+    env = {
+        **os.environ,
+        "PYTHONPATH": str(REPO),
+        "SWARM_TPU_PROGNAME": "swarm",
+        "SWARM_TPU_BACKEND": backend,
+    }
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bin" / "swarm")] + argv,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,
+    )
+    dt = time.perf_counter() - t0
+    if r.returncode != 0:
+        raise RuntimeError("swarm_tpu cold run failed")
+    return dt
+
+
+def check_parity(cfg: dict) -> bool:
+    ok = True
+    for ref_f in output_files(cfg, "ref"):
+        tpu_f = WORK / ref_f.name.replace("ref_", "tpu_")
+        a = ref_f.read_bytes() if ref_f.exists() else None
+        b = tpu_f.read_bytes() if tpu_f.exists() else None
+        if a != b:
+            log(f"  WARNING: {ref_f.name} differs from reference!")
+            ok = False
+    return ok
 
 
 def main() -> None:
-    n_req = int(os.environ.get("SWARM_TPU_BENCH_N", "1000000"))
-    length = int(os.environ.get("SWARM_TPU_BENCH_LEN", "150"))
     backend = os.environ.get("SWARM_TPU_BENCH_BACKEND", "jax")
-
-    WORK.mkdir(parents=True, exist_ok=True)
-    fasta = WORK / f"bench_{n_req}_{length}.fasta"
-    count_file = WORK / f"{fasta.name}.count"
-    if not fasta.exists() or not count_file.exists():
-        log(f"generating corpus n={n_req} len~{length} ...")
-        n_actual = gen_corpus(fasta, n_req, length)
-        count_file.write_text(str(n_actual))
-    n_actual = int(count_file.read_text())
-    log(f"corpus: {n_actual} amplicons at {fasta}")
+    selected = os.environ.get("SWARM_TPU_BENCH_CONFIGS", "")
+    names = [c.strip() for c in selected.split(",") if c.strip()] or list(CONFIGS)
+    n_override = os.environ.get("SWARM_TPU_BENCH_N")
+    if n_override:
+        CONFIGS[HEADLINE]["n"] = int(n_override)
 
     threads = os.cpu_count() or 1
     ref_bin = build_reference()
-    if ref_bin is None:
-        ref_time = None
-        log("reference unavailable")
-    else:
-        log(f"timing reference ({ref_bin}, -t {threads}) ...")
-        ref_time = time_reference(ref_bin, fasta, threads)
-        log(f"reference: {ref_time:.3f}s ({n_actual / ref_time:.0f} amps/s)")
+    results = {}
+    for name in names:
+        cfg = CONFIGS[name]
+        fasta, n_actual = corpus_for(name, cfg)
+        log(f"[{name}] corpus: {n_actual} amplicons")
+        entry = {"n": n_actual}
+        if ref_bin is not None:
+            entry["ref_s"] = round(time_reference(ref_bin, fasta, cfg, threads), 3)
+            log(f"[{name}] reference: {entry['ref_s']}s")
+        warm, comparisons = time_ours_warm(fasta, cfg, backend)
+        entry["warm_s"] = round(warm, 3)
+        entry["amps_per_s"] = round(n_actual / warm, 1)
+        if comparisons:
+            entry["comparisons_per_s"] = round(comparisons / warm, 1)
+        log(f"[{name}] swarm_tpu warm: {entry['warm_s']}s"
+            f" ({entry['amps_per_s']:.0f} amps/s)")
+        cold = time_ours_cold(fasta, cfg, backend)
+        entry["cold_s"] = round(cold, 3)
+        log(f"[{name}] swarm_tpu cold: {entry['cold_s']}s")
+        if ref_bin is not None:
+            entry["vs_baseline"] = round(entry["ref_s"] / warm, 3)
+            entry["vs_baseline_cold"] = round(entry["ref_s"] / cold, 3)
+            entry["parity"] = check_parity(cfg)
+        results[name] = entry
 
-    our_time = time_ours(fasta, backend)
-    ours_tp = n_actual / our_time
-    log(f"swarm_tpu ({backend}): {our_time:.3f}s ({ours_tp:.0f} amps/s)")
-
-    # sanity: outputs must agree with the reference byte-for-byte
-    if ref_time is not None:
-        for name in ("o.txt", "s.txt"):
-            a = (WORK / f"ref_{name}").read_bytes()
-            b = (WORK / f"tpu_{name}").read_bytes()
-            if a != b:
-                log(f"WARNING: output {name} differs from reference!")
-
-    vs = (ours_tp / (n_actual / ref_time)) if ref_time else None
+    head = results.get(HEADLINE) or next(iter(results.values()))
     print(
         json.dumps(
             {
                 "metric": "d1_cluster_amps_per_s",
-                "value": round(ours_tp, 1),
+                "value": head.get("amps_per_s"),
                 "unit": "amplicons/s",
-                "vs_baseline": round(vs, 3) if vs is not None else None,
+                "vs_baseline": head.get("vs_baseline"),
+                "configs": results,
             }
         )
     )

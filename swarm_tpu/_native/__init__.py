@@ -623,7 +623,7 @@ def algo_cluster(profiles, padded, lengths, abundances, d,
     struct_child = np.empty(cap, dtype=np.int64)
     struct_diff = np.empty(cap, dtype=np.int64)
     struct_gen = np.empty(cap, dtype=np.int64)
-    summary = np.zeros(3, dtype=np.int64)
+    summary = np.zeros(6, dtype=np.int64)
     lib.algo_cluster.restype = ctypes.c_int64
     swarmcount = lib.algo_cluster(
         profiles.ctypes.data_as(U64),
@@ -663,4 +663,9 @@ def algo_cluster(profiles, padded, lengths, abundances, d,
         "struct_gen": struct_gen[:nstruct],
         "largest": int(summary[0]), "maxgen": int(summary[1]),
         "swarmcount": sc,
+        "comparisons": {
+            "gen1_screen": int(summary[3]),
+            "subseed_scan": int(summary[4]),
+            "alignments": int(summary[5]),
+        },
     }

@@ -2197,6 +2197,7 @@ int64_t algo_cluster(
 
   int64_t largestswarm = 0, maxgenerations = 0, swarmid = 0;
   int64_t seeded = 0, swarmed = 0, struct_count = 0;
+  int64_t cnt_g1 = 0, cnt_sub = 0, cnt_align = 0; /* comparison counters */
 
   while (seeded < n) {
     swarmid++;
@@ -2220,11 +2221,12 @@ int64_t algo_cluster(
                                        no_break, d, tpos, tids, &n_pool,
                                        fold);
     t_screen += _now() - _t0; n_g1 += n - swarmed;
+    cnt_g1 += n_pool;
     if (hits > 0) {
       _t0 = _now();
       if (align_targets(&cx, seedampliconid, tids, hits, tdiffs) != 0)
         goto fail;
-      t_align += _now() - _t0; n_aligns += hits;
+      t_align += _now() - _t0; n_aligns += hits; cnt_align += hits;
       for (int64_t t = 0; t < hits; t++) {
         int64_t diff = tdiffs[t];
         if (diff > d)
@@ -2271,12 +2273,13 @@ int64_t algo_cluster(
             profiles, order, abundances, diffest, swarmed, n, subseed_amp,
             subseed_radius + d, subseedab, no_break, d, tpos, tids, fold);
         t_sub2 += _now() - _t0;
+        cnt_sub += n - swarmed;
         if (shits == 0)
           continue;
         _t0 = _now();
         if (align_targets(&cx, subseed_amp, tids, shits, tdiffs) != 0)
           goto fail;
-        t_align += _now() - _t0; n_aligns += shits;
+        t_align += _now() - _t0; n_aligns += shits; cnt_align += shits;
         for (int64_t t = 0; t < shits; t++) {
           int64_t diff = tdiffs[t];
           if (diff > d)
@@ -2335,6 +2338,9 @@ int64_t algo_cluster(
   summary_out[0] = largestswarm;
   summary_out[1] = maxgenerations;
   summary_out[2] = struct_count;
+  summary_out[3] = cnt_g1;   /* gen-1 qgram screen comparisons */
+  summary_out[4] = cnt_sub;  /* subseed pool-scan comparisons */
+  summary_out[5] = cnt_align; /* exact alignments */
   if (getenv("SWARM_TPU_TIMING") != NULL)
     fprintf(stderr,
             "[algo_cluster] g1 %.2fs (%lld elems) sub %.2fs align %.2fs "

@@ -436,6 +436,9 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
     progress.done()
 
     log.write(f"Heavy variants: {heavy_variants}\n")
+    from .. import metrics
+
+    metrics.record(graft_join_comparisons=int(graft_candidates))
     log.write(f"Got {graft_candidates} graft candidates\n")
 
     # attach in (parent, child) order

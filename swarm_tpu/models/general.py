@@ -48,11 +48,11 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
     from .. import _native
 
     backend = os.environ.get("SWARM_TPU_BACKEND", "auto")
-    if (
-        _native.available()
-        and backend not in ("jax", "jax_probe", "jax_shard")
-        and os.environ.get("SWARM_TPU_D2_ENGINE", "native") != "python"
-    ):
+    # the native engine wins on every measured corpus; the Python loop
+    # (with optional device screens) stays as the oracle and as the
+    # explicit SWARM_TPU_D2_ENGINE=python/device path
+    engine = os.environ.get("SWARM_TPU_D2_ENGINE", "native")
+    if _native.available() and engine == "native":
         _algo_run_native(p, db, progress, padded, profiles, bit_mode, n, d)
         return
 
@@ -60,7 +60,7 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
     # diff > d, then re-run the few survivors through the exact host
     # kernel (see ops/search_jax.py for the soundness argument)
     device_aligner = None
-    if backend in ("jax", "jax_probe", "jax_shard") or (
+    if engine == "device" or backend in ("jax", "jax_probe", "jax_shard") or (
         backend == "auto" and n * max_len >= 4_000_000
     ):
         try:
@@ -388,6 +388,14 @@ def _algo_run_native(p, db, progress, padded, profiles, bit_mode, n, d):
         profiles, padded, lengths, db.abundances, d,
         p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend,
         bit_mode, p.opt_no_cluster_breaking, want_structure,
+    )
+
+    from .. import metrics
+
+    metrics.record(
+        qgram_screen_comparisons=res["comparisons"]["gen1_screen"]
+        + res["comparisons"]["subseed_scan"],
+        alignment_comparisons=res["comparisons"]["alignments"],
     )
 
     progress.init("Clustering:       ", n)

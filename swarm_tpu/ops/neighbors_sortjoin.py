@@ -422,6 +422,9 @@ class SortJoinNeighborEngine:
             break
         _LAST_GOOD_PARAMS[shape_key] = (cap, cap2, window)
 
+        from .. import metrics
+
+        metrics.record(d1_join_comparisons=int(n_pairs))
         good = verify_pairs(packed, lengths, pa, pb, width=self.width)
 
         good_np = np.asarray(good)

@@ -5,11 +5,22 @@ The reference's only parallelism is a pthread pool over shared memory
 The TPU-native equivalent is SPMD over a jax.sharding.Mesh: amplicon
 batches are sharded across chips (data parallel over the ICI), the
 sequence-hash table and Zobrist tables are replicated, and candidate
-counts are merged with psum.
+counts are merged with psum. Cross-host meshes (jax.distributed) are
+wired in .distributed.
+
+Submodules are imported lazily: jax.distributed.initialize() must run
+before anything touches the XLA backend, so importing this package
+must stay side-effect free.
 """
 
-from .mesh import (  # noqa: F401
-    ShardedNeighborEngine,
-    SortJoinShardedEngine,
-    make_mesh,
-)
+
+def __getattr__(name):
+    if name in ("ShardedNeighborEngine", "SortJoinShardedEngine", "make_mesh"):
+        from . import mesh
+
+        return getattr(mesh, name)
+    if name in ("mesh", "distributed"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

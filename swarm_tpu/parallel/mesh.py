@@ -244,9 +244,33 @@ class SortJoinShardedEngine:
         lengths = np.zeros(rows, dtype=np.int32)
         lengths[:n] = db.lengths
         self.lengths_np = lengths
-        self.zob = jnp.asarray(make_zobrist_pair(self.width))
+        self.zob_np = np.asarray(make_zobrist_pair(self.width))
         self.packed_np = pack2bit(padded)
         self._fns = {}
+        # multi-process (jax.distributed) meshes need explicitly global
+        # arrays; single-process meshes take plain device arrays
+        self.multiprocess = jax.process_count() > 1
+
+    def _put(self, arr, spec):
+        """Place a host-side array for the mesh: plain transfer on one
+        process, global-array construction across processes (each host
+        provides the shards its devices own)."""
+        if not self.multiprocess:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding
+
+        sharding = NamedSharding(self.mesh, spec)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    def _gather(self, garr):
+        """Bring a P('amps')-sharded output back to every host."""
+        if not self.multiprocess:
+            return np.asarray(garr)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(garr, tiled=True))
 
     def _fn(self, cap_block, cap, cap2, window):
         key = (cap_block, cap, cap2, window)
@@ -274,8 +298,11 @@ class SortJoinShardedEngine:
         if n == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
 
-        packed = jnp.asarray(self.packed_np)
-        lengths = jnp.asarray(self.lengths_np)
+        packed_sh = self._put(self.packed_np, P("amps"))
+        lengths_sh = self._put(self.lengths_np, P("amps"))
+        packed_rep = self._put(self.packed_np, P())
+        lengths_rep = self._put(self.lengths_np, P())
+        zob = self._put(self.zob_np, P())
 
         keys_per_shard = (self.n_pad // self.D) * (self.width + 1)
         cap_block = max(1024, int(keys_per_shard / self.D * 1.5))
@@ -284,7 +311,9 @@ class SortJoinShardedEngine:
         window = 8
         while True:
             fn = self._fn(cap_block, cap, cap2, window)
-            pa, pb, good, stats = fn(packed, lengths, packed, lengths, self.zob)
+            pa, pb, good, stats = fn(
+                packed_sh, lengths_sh, packed_rep, lengths_rep, zob
+            )
             block_over, f_max, p_max, over, sentinel = (
                 int(x) for x in np.asarray(stats)
             )
@@ -305,9 +334,9 @@ class SortJoinShardedEngine:
                 continue
             break
 
-        good_np = np.asarray(good).reshape(-1)
-        pa_np = np.asarray(pa).reshape(-1)[good_np].astype(np.int64)
-        pb_np = np.asarray(pb).reshape(-1)[good_np].astype(np.int64)
+        good_np = self._gather(good).reshape(-1)
+        pa_np = self._gather(pa).reshape(-1)[good_np].astype(np.int64)
+        pb_np = self._gather(pb).reshape(-1)[good_np].astype(np.int64)
 
         packed_pairs = np.unique(pa_np * np.int64(self.n_pad) + pb_np)
         pa_np = packed_pairs // self.n_pad
