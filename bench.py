@@ -206,7 +206,9 @@ def time_ours_cold(fasta: Path, cfg: dict, backend: str) -> float:
     argv = build_args(cfg, "tpu") + [str(fasta)]
     env = {
         **os.environ,
-        "PYTHONPATH": str(REPO),
+        # keep any site hook (e.g. the TPU relay's sitecustomize) on the
+        # path — replacing PYTHONPATH outright would strand the backend
+        "PYTHONPATH": str(REPO) + os.pathsep + os.environ.get("PYTHONPATH", ""),
         "SWARM_TPU_PROGNAME": "swarm",
         "SWARM_TPU_BACKEND": backend,
     }

@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Alignment-kernel microbenchmark on the attached accelerator.
+
+Measures effective Gcell/s (sum of qlen*tlen DP cells per second) for
+the three device alignment paths at the VERDICT-specified workload
+(400 nt amplicons, d<=3 band):
+
+  - xla_scan   ops/search_jax.py nw_scores_device (the baseline)
+  - pallas_full ops/pallas_nw.py full-row kernel
+  - pallas_band ops/pallas_nw.py banded kernel (the production screen)
+
+Timing rule for the relay-attached TPU: device completion is observed
+with a 1-element D2H readback (block_until_ready does not block on the
+relay backend). Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from swarm_tpu.ops.pallas_nw import (
+        band_for_cutoff,
+        make_banded_scores_pallas,
+        make_banded_scores_pallas_band,
+    )
+    from swarm_tpu.ops import search_jax
+
+    P = int(os.environ.get("SWARM_TPU_KBENCH_P", "4096"))
+    L = int(os.environ.get("SWARM_TPU_KBENCH_LEN", "400"))
+    W = 128 * ((L + 30 + 127) // 128)
+    mm, go, ge = 18, 24, 13
+    d = 3
+    cutoff = d * max(mm, go + ge)
+    band = band_for_cutoff(cutoff, go, ge)
+
+    rng = np.random.default_rng(11)
+    qrows = np.zeros((P, W), np.uint8)
+    trows = np.zeros((P, W), np.uint8)
+    qlens = np.zeros(P, np.int32)
+    tlens = np.zeros(P, np.int32)
+    for p in range(P):
+        ql = int(rng.integers(L - 20, L + 20))
+        tl = int(rng.integers(L - 20, L + 20))
+        qrows[p, :ql] = rng.integers(1, 5, ql)
+        trows[p, :tl] = rng.integers(1, 5, tl)
+        qlens[p], tlens[p] = ql, tl
+    cells = float(np.sum(qlens.astype(np.int64) * tlens.astype(np.int64)))
+
+    qr = jnp.asarray(qrows)
+    tr = jnp.asarray(trows)
+    qlj = jnp.asarray(qlens)
+    tlj = jnp.asarray(tlens)
+
+    def timeit(fn, reps=3):
+        out = fn()
+        _ = np.asarray(out[:1])  # force completion via D2H
+        best = float("inf")
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            _ = np.asarray(out[:1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    results = {"platform": jax.devices()[0].platform,
+               "P": P, "L": L, "band": band}
+
+    # the XLA-scan baseline aligns one seed vs the batch (its API);
+    # cells accounted accordingly
+    table = jnp.asarray(np.vstack([qrows[:1], trows]))
+    tab_lens = jnp.asarray(np.concatenate([qlens[:1], tlens]).astype(np.int32))
+    tids = jnp.asarray(np.arange(1, P + 1, dtype=np.int32))
+    scan_fn = jax.jit(
+        lambda: search_jax.nw_scores_device(
+            table, tab_lens, jnp.int32(0), tids,
+            jnp.int32(mm), jnp.int32(go), jnp.int32(ge),
+        )
+    )
+    scan_cells = float(int(qlens[0]) * np.sum(tlens.astype(np.int64)))
+    dt = timeit(scan_fn)
+    results["xla_scan_gcells"] = round(scan_cells / dt / 1e9, 3)
+
+    on_tpu = jax.default_backend() == "tpu"
+    full = make_banded_scores_pallas(P_TILE=8, interpret=not on_tpu)
+    fn_full = jax.jit(lambda: full(qr, tr, qlj, tlj, mm, go, ge))
+    if on_tpu:
+        dt = timeit(fn_full)
+        results["pallas_full_gcells"] = round(cells / dt / 1e9, 3)
+
+    bandk = make_banded_scores_pallas_band(P_TILE=8, interpret=not on_tpu)
+    fn_band = jax.jit(lambda: bandk(qr, tr, qlj, tlj, mm, go, ge, band))
+    if on_tpu:
+        dt = timeit(fn_band)
+        results["pallas_band_gcells"] = round(cells / dt / 1e9, 3)
+        # sanity: banded agrees with full-row under the cutoff
+        sf = np.asarray(fn_full())
+        sb = np.asarray(fn_band())
+        near = sf <= cutoff
+        results["band_exact_under_cutoff"] = bool(
+            np.array_equal(sf[near], sb[near])
+        )
+        results["band_no_false_accepts"] = bool(
+            np.all(sb[~near] > cutoff)
+        )
+
+    print(json.dumps({
+        "metric": "pallas_band_gcells",
+        "value": results.get("pallas_band_gcells"),
+        "unit": "Gcell/s",
+        "detail": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

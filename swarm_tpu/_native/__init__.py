@@ -389,6 +389,7 @@ def derep_groups(codes, seq_off, seq_len):
 if lib is not None:
     lib.nw_diffs_batch.restype = None
     lib.qgram_profiles_native.restype = None
+    lib.qgram_profiles_arena.restype = None
     lib.nw_diffs_refsched.restype = None
 
 U64 = ctypes.POINTER(ctypes.c_uint64)
@@ -595,7 +596,20 @@ def nw_diffs_refsched(qseq, dseqs, dlens, compute,
     return scores, diffs, alignlengths
 
 
-def algo_cluster(profiles, padded, lengths, abundances, d,
+def qgram_profiles_arena(codes, offsets, lengths):
+    """[n, 16] uint64 parity profiles from the offset-based arena."""
+    n = len(offsets)
+    profiles = np.zeros((max(n, 1), 16), dtype=np.uint64)
+    lib.qgram_profiles_arena(
+        _ptr(np.ascontiguousarray(codes, dtype=np.uint8)),
+        _ptr(np.ascontiguousarray(offsets, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(lengths, dtype=np.int64)),
+        ctypes.c_int64(n), profiles.ctypes.data_as(U64),
+    )
+    return profiles[:n]
+
+
+def algo_cluster(profiles, codes, offsets, lengths, abundances, d,
                  mismatch, gapopen, gapextend, bit_mode,
                  no_break, want_structure):
     """Run the full d>=2 clustering loop natively (swarm_native.c:
@@ -605,7 +619,7 @@ def algo_cluster(profiles, padded, lengths, abundances, d,
     also the uclust hit order), and the summary numbers."""
     if lib is None:
         return None
-    n, W = padded.shape
+    n = len(offsets)
     order = np.arange(n, dtype=np.int64)
     diffest = np.zeros(n, dtype=np.int64)
     swarmid_arr = np.zeros(n, dtype=np.int64)
@@ -627,9 +641,9 @@ def algo_cluster(profiles, padded, lengths, abundances, d,
     lib.algo_cluster.restype = ctypes.c_int64
     swarmcount = lib.algo_cluster(
         profiles.ctypes.data_as(U64),
-        _ptr(np.ascontiguousarray(padded, dtype=np.uint8)),
+        _ptr(np.ascontiguousarray(codes, dtype=np.uint8)),
+        _ptr(np.ascontiguousarray(offsets, dtype=np.int64)),
         _ptr(np.ascontiguousarray(lengths, dtype=np.int64)),
-        ctypes.c_int64(W),
         _ptr(np.ascontiguousarray(abundances, dtype=np.int64)),
         ctypes.c_int64(n), ctypes.c_int64(d),
         ctypes.c_int64(mismatch), ctypes.c_int64(gapopen),

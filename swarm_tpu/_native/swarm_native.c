@@ -1003,6 +1003,23 @@ void qgram_profiles_native(const uint8_t *padded, const int64_t *lengths,
   }
 }
 
+/* arena (offset-based) variant: no padded matrix required. */
+void qgram_profiles_arena(const uint8_t *arena, const int64_t *offsets,
+                          const int64_t *lengths, int64_t n,
+                          uint64_t *profiles) {
+  for (int64_t s = 0; s < n; s++) {
+    const uint8_t *row = arena + offsets[s];
+    uint64_t *prof = profiles + s * 16;
+    int64_t len = lengths[s];
+    unsigned qgram = 0;
+    for (int64_t p = 0; p < len; p++) {
+      qgram = ((qgram << 2) | row[p]) & 1023;
+      if (p >= 4)
+        prof[qgram >> 6] ^= 1ULL << (qgram & 63);
+    }
+  }
+}
+
 /* ------------------------------------------------------------------ */
 /* d>=2 per-(sub)seed candidate screens (reference src/algo.cc:384-531,*/
 /* src/qgram.cc:239-264) — pool scan + qgram lower bound in one pass   */
@@ -2059,10 +2076,14 @@ static int64_t ref_schedule(const int64_t *ids, const int64_t *lengths,
 
 /* growable scratch for the clustering engine */
 typedef struct {
+  int64_t dirs_cap;
   const uint64_t *profiles;
-  const uint8_t *padded;
+  const uint8_t *arena;      /* offset-based codes (no padded matrix:
+                                one 67 Mnt sequence must not inflate
+                                every row — reference arena layout,
+                                src/db.cc:439-442) */
+  const int64_t *offsets;
   const int64_t *lengths;
-  int64_t W;
   int64_t mismatch, go, ge, Q, R;
   int64_t bit_mode;
   uint8_t *dirs;     /* [maxlen*maxlen] */
@@ -2076,12 +2097,28 @@ typedef struct {
 /* diffs for one search_do call: ids[0..B) in pool order */
 static int align_targets(alignctx_t *cx, int64_t seed_amp,
                          const int64_t *ids, int64_t B, int64_t *diffs) {
-  const uint8_t *q = cx->padded + seed_amp * cx->W;
+  const uint8_t *q = cx->arena + cx->offsets[seed_amp];
   const int64_t qlen = cx->lengths[seed_amp];
   int64_t score, alen;
+  /* direction scratch sized by this call's largest pair (lazy: a lone
+   * multi-Mnt sequence must not reserve maxlen^2 upfront) */
+  {
+    int64_t dmax = 1;
+    for (int64_t b = 0; b < B; b++)
+      if (cx->lengths[ids[b]] > dmax)
+        dmax = cx->lengths[ids[b]];
+    int64_t need = qlen * dmax;
+    if (need > cx->dirs_cap) {
+      uint8_t *nd = (uint8_t *)realloc(cx->dirs, (size_t)need);
+      if (nd == NULL)
+        return -1;
+      cx->dirs = nd;
+      cx->dirs_cap = need;
+    }
+  }
   if (cx->bit_mode == 8) {
     for (int64_t b = 0; b < B; b++) {
-      nw_pair_ideal(q, qlen, cx->padded + ids[b] * cx->W,
+      nw_pair_ideal(q, qlen, cx->arena + cx->offsets[ids[b]],
                     cx->lengths[ids[b]], cx->mismatch, cx->Q, cx->R, cx->go,
                     cx->ge, 255, cx->dirs, cx->Hb, cx->Eb, &score, &diffs[b],
                     &alen);
@@ -2109,7 +2146,7 @@ static int align_targets(alignctx_t *cx, int64_t seed_amp,
   const uint32_t F0F = (uint32_t)(2 * cx->Q) & SAT;
   ref_schedule(ids, cx->lengths, B, 8, Qu, Ru, SAT, cx->start_iter, cx->junk);
   for (int64_t b = 0; b < B; b++) {
-    nw_pair_artifact(q, qlen, cx->padded + ids[b] * cx->W,
+    nw_pair_artifact(q, qlen, cx->arena + cx->offsets[ids[b]],
                      cx->lengths[ids[b]], MMu, Qu, Ru, F0F, SAT,
                      cx->start_iter[b], cx->junk, cx->dirs, cx->Hu, cx->Eu,
                      &score, &diffs[b], &alen);
@@ -2137,8 +2174,8 @@ static int64_t n_aligns, n_g1;
 /* The full clustering loop. Returns the swarm count, or -1 on alloc
  * failure. See the Python-side wrapper for the array contracts. */
 int64_t algo_cluster(
-    const uint64_t *profiles, const uint8_t *padded, const int64_t *lengths,
-    int64_t W, const int64_t *abundances, int64_t n, int64_t d,
+    const uint64_t *profiles, const uint8_t *arena, const int64_t *offsets,
+    const int64_t *lengths, const int64_t *abundances, int64_t n, int64_t d,
     int64_t mismatch, int64_t go, int64_t ge, int64_t bit_mode, int no_break,
     int want_structure, int64_t *order, int64_t *diffest,
     int64_t *swarmid_arr, int64_t *gen_arr, int64_t *rad_arr,
@@ -2152,17 +2189,18 @@ int64_t algo_cluster(
       maxlen = lengths[i];
 
   alignctx_t cx;
+  cx.dirs_cap = 0;
   cx.profiles = profiles;
-  cx.padded = padded;
+  cx.arena = arena;
+  cx.offsets = offsets;
   cx.lengths = lengths;
-  cx.W = W;
   cx.mismatch = mismatch;
   cx.go = go;
   cx.ge = ge;
   cx.Q = go + ge;
   cx.R = ge;
   cx.bit_mode = bit_mode;
-  cx.dirs = (uint8_t *)malloc((size_t)maxlen * (size_t)maxlen);
+  cx.dirs = NULL;
   cx.Hb = (int64_t *)malloc((size_t)maxlen * 8);
   cx.Eb = (int64_t *)malloc((size_t)maxlen * 8);
   cx.Hu = (uint32_t *)malloc((size_t)maxlen * 4);
@@ -2186,7 +2224,7 @@ int64_t algo_cluster(
   int64_t *tpos = (int64_t *)malloc((size_t)(n > 0 ? n : 1) * 8);
   int64_t *tids = (int64_t *)malloc((size_t)(n > 0 ? n : 1) * 8);
   int64_t *tdiffs = (int64_t *)malloc((size_t)(n > 0 ? n : 1) * 8);
-  if (cx.dirs == NULL || cx.Hb == NULL || cx.Eb == NULL || cx.Hu == NULL ||
+  if (cx.Hb == NULL || cx.Eb == NULL || cx.Hu == NULL ||
       cx.Eu == NULL || cx.start_iter == NULL || cx.junk == NULL ||
       tpos == NULL || tids == NULL || tdiffs == NULL || fold == NULL) {
     free(cx.dirs); free(cx.Hb); free(cx.Eb); free(cx.Hu); free(cx.Eu);

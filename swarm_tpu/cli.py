@@ -418,17 +418,29 @@ def args_show(p: Parameters, logfile) -> None:
 
 _STDOUT_WRAPPER = None
 _STDERR_WRAPPER = None
+_RETIRED_WRAPPERS = []  # keep refs: GC'ing a TextIOWrapper closes its buffer
 
 
 def make_stdout():
-    """Byte-transparent stdout wrapper (singleton: a dropped TextIOWrapper
-    would close sys.stdout.buffer when garbage-collected)."""
+    """Byte-transparent stdout wrapper (cached: a dropped TextIOWrapper
+    would close sys.stdout.buffer when garbage-collected). Re-created
+    when the stream was swapped or closed (e.g. contextlib redirects
+    in an embedding process)."""
     import io
 
     global _STDOUT_WRAPPER
-    if _STDOUT_WRAPPER is None:
+    buf = getattr(sys.stdout, "buffer", None)
+    if buf is None:
+        return sys.stdout
+    if (
+        _STDOUT_WRAPPER is None
+        or _STDOUT_WRAPPER.closed
+        or _STDOUT_WRAPPER.buffer is not buf
+    ):
+        if _STDOUT_WRAPPER is not None:
+            _RETIRED_WRAPPERS.append(_STDOUT_WRAPPER)
         _STDOUT_WRAPPER = io.TextIOWrapper(
-            sys.stdout.buffer, encoding="latin-1", newline=""
+            buf, encoding="latin-1", newline=""
         )
     return _STDOUT_WRAPPER
 
@@ -437,9 +449,18 @@ def make_stderr():
     import io
 
     global _STDERR_WRAPPER
-    if _STDERR_WRAPPER is None:
+    buf = getattr(sys.stderr, "buffer", None)
+    if buf is None:
+        return sys.stderr
+    if (
+        _STDERR_WRAPPER is None
+        or _STDERR_WRAPPER.closed
+        or _STDERR_WRAPPER.buffer is not buf
+    ):
+        if _STDERR_WRAPPER is not None:
+            _RETIRED_WRAPPERS.append(_STDERR_WRAPPER)
         _STDERR_WRAPPER = io.TextIOWrapper(
-            sys.stderr.buffer, encoding="latin-1", newline="", write_through=True
+            buf, encoding="latin-1", newline="", write_through=True
         )
     return _STDERR_WRAPPER
 

@@ -31,7 +31,30 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
     abundances = db.abundances
     lengths = db.lengths
 
+    from .. import _native
+
+    backend = os.environ.get("SWARM_TPU_BACKEND", "auto")
+    # the native engine wins on every measured corpus; the Python loop
+    # (with optional device screens) stays as the oracle and as the
+    # explicit SWARM_TPU_D2_ENGINE=python/device path
+    engine = os.environ.get("SWARM_TPU_D2_ENGINE", "native")
+    bit_mode = set_bit_mode(d, p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend)
     max_len = max(int(db.longest), 1)
+
+    if _native.available() and engine == "native":
+        # offset-based arena throughout: no [n, round_up(longest)]
+        # matrix, so one multi-Mnt sequence costs only its own bytes
+        progress.init("Find qgram vects: ", n)
+        profiles = _native.qgram_profiles_arena(
+            db.codes, db.offsets, db.lengths
+        )
+        from ..progress import replay_range
+
+        replay_range(progress, n)
+        progress.done()
+        _algo_run_native(p, db, progress, None, profiles, bit_mode, n, d)
+        return
+
     padded = pad_codes(db.codes, db.offsets, db.lengths, max_len)
 
     progress.init("Find qgram vects: ", n)
@@ -42,19 +65,6 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
 
     replay_range(progress, n)
     progress.done()
-
-    bit_mode = set_bit_mode(d, p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend)
-
-    from .. import _native
-
-    backend = os.environ.get("SWARM_TPU_BACKEND", "auto")
-    # the native engine wins on every measured corpus; the Python loop
-    # (with optional device screens) stays as the oracle and as the
-    # explicit SWARM_TPU_D2_ENGINE=python/device path
-    engine = os.environ.get("SWARM_TPU_D2_ENGINE", "native")
-    if _native.available() and engine == "native":
-        _algo_run_native(p, db, progress, padded, profiles, bit_mode, n, d)
-        return
 
     # device screening: reject pairs whose alignment cost already proves
     # diff > d, then re-run the few survivors through the exact host
@@ -104,6 +114,7 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
         scr = device_aligner.scores(
             seed_id, target_ids,
             p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend,
+            cutoff=cutoff,
         )
         # sound prune vs the artifact kernel: an accepted pair's walked
         # path is a valid alignment with <= d diffs, whose true cost
@@ -385,7 +396,7 @@ def _algo_run_native(p, db, progress, padded, profiles, bit_mode, n, d):
     want_structure = bool(p.opt_internal_structure or p.uclustfile is not None)
 
     res = _native.algo_cluster(
-        profiles, padded, lengths, db.abundances, d,
+        profiles, db.codes, db.offsets, lengths, db.abundances, d,
         p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend,
         bit_mode, p.opt_no_cluster_breaking, want_structure,
     )

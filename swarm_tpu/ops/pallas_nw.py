@@ -269,3 +269,197 @@ def make_banded_scores_pallas(P_TILE=8, interpret=False):
         return out[:, 0]
 
     return call
+
+
+def make_banded_scores_pallas_band(P_TILE=8, interpret=False):
+    """The PRODUCTION banded kernel: O(rows * 128) per pair.
+
+    The band lives on the lane axis (128 slots, covering query indices
+    i in [row-B, row-B+127], which contains the |i-j| <= B band for
+    any B <= 63). Per target row the window slides one query position:
+    Mosaic has no unaligned lane slices, so the query codes shift one
+    lane per row with the incoming code extracted by a one-hot sum
+    from a host-precomputed shifted copy — all slices static.
+
+    Scores are EXACT (bit-identical to ops/search.py) for every pair
+    whose optimal cost is <= gapopen + B*gapextend; anything whose
+    optimal path leaves the band reports >= that bound (the screen's
+    cutoff-compatibility contract — see banded_scores_reference and
+    ops/search_jax.py). Choose B with band_for_cutoff().
+
+    Versus the full-row kernel (make_banded_scores_pallas) the VPU work
+    per row drops from O(qlen) to O(128) — ~4x for 400-500 nt
+    amplicons — and VMEM residency per pair shrinks the same way.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BW = 128  # band window lanes
+
+    def kernel(qinit_ref, qshift_ref, trows_ref, qlens_ref, tlens_ref,
+               params_ref, out_ref):
+        mm = params_ref[0]
+        go = params_ref[1]
+        ge = params_ref[2]
+        B = params_ref[3]
+        W = trows_ref.shape[1]
+
+        Q = go + ge
+        R = ge
+        k = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, BW), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, W), 1)
+        qlens = qlens_ref[:, 0][:, None]
+        tlens = tlens_ref[:, 0][:, None]
+
+        tcodes = trows_ref[:, :].astype(jnp.int32)
+        qshift = qshift_ref[:, :].astype(jnp.int32)
+        q_band0 = qinit_ref[:, :].astype(jnp.int32)
+
+        # row -1 boundaries in band coordinates at row 0 (i = k - B):
+        # H_prev[k] = H[-1][i-1], E_prev[k] holds E entering row 0 at
+        # column i-1 (consumed through the k+1 shift)
+        i0 = k - B
+        H_prev0 = jnp.where(i0 - 1 >= 0, Q + (i0 - 1) * R, INF)
+        E_prev0 = jnp.where(i0 - 1 >= 0, 2 * Q + (i0 - 1) * R, INF)
+
+        def row_body(row, carry):
+            H_prev, E_prev, q_band, scores = carry
+            i = row + k - B
+            i_valid = (i >= 0) & (i < qlens)
+
+            t_code = jnp.sum(
+                jnp.where(cols == row, tcodes, 0), axis=1, keepdims=True
+            )
+            V = jnp.where(q_band == t_code, 0, mm)
+
+            diag_in = jnp.where(
+                i == 0,
+                jnp.where(row == 0, 0, go + row * ge),
+                H_prev,
+            )
+            diag = jnp.where(i_valid, diag_in + V, INF)
+
+            # up (E): slot k+1 of the previous row
+            E_in = jnp.concatenate(
+                [E_prev[:, 1:], jnp.full((P_TILE, 1), INF, jnp.int32)],
+                axis=1,
+            )
+            E_in = jnp.where(i_valid, E_in, INF)
+
+            # left (F): min-plus prefix scan over band slots
+            pre = jnp.minimum(diag, E_in)
+            f_boundary = 2 * go + (row + 2) * ge
+            seed = jnp.where(i == 0, f_boundary - k * R, INF)
+            A = jnp.minimum(pre + Q - (k + 1) * R, seed)
+            running = A
+            s = 1
+            while s < BW:
+                running = jnp.minimum(
+                    running,
+                    jnp.concatenate(
+                        [
+                            jnp.full((P_TILE, s), INF, jnp.int32),
+                            running[:, :-s],
+                        ],
+                        axis=1,
+                    ),
+                )
+                s *= 2
+            shifted = jnp.concatenate(
+                [jnp.full((P_TILE, 1), INF, jnp.int32), running[:, :-1]],
+                axis=1,
+            )
+            F_in = jnp.minimum(
+                shifted + k * R, jnp.where(i == 0, f_boundary, INF)
+            )
+
+            H = jnp.minimum(jnp.minimum(pre, F_in), INF)
+            E = jnp.minimum(jnp.minimum(H + Q, E_in + R), INF)
+
+            # final score: row tlen-1, band slot qlen-1-row+B
+            k_final = qlens - 1 - row + B
+            ended = tlens == row + 1
+            final = jnp.sum(jnp.where(k == k_final, H, 0), axis=1,
+                            keepdims=True)
+            scores = jnp.where(
+                ended & (k_final >= 0) & (k_final < BW),
+                jnp.broadcast_to(final, (P_TILE, BW)),
+                scores,
+            )
+
+            # slide the query window one lane: incoming code for the
+            # next row is q[row+1 + (BW-1) - B] = qshift[:, row+1]
+            incoming = jnp.sum(
+                jnp.where(cols == row + 1, qshift, 0), axis=1, keepdims=True
+            )
+            q_band = jnp.concatenate([q_band[:, 1:], incoming], axis=1)
+            return H, E, q_band, scores
+
+        H, E, q_band, scores = jax.lax.fori_loop(
+            0, W, row_body,
+            (
+                H_prev0,
+                E_prev0,
+                q_band0,
+                jnp.full((P_TILE, BW), INF, jnp.int32),
+            ),
+        )
+        out_ref[:, :] = scores
+
+    def call(qrows, trows, qlens, tlens, mm, go, ge, band):
+        P, W = qrows.shape
+        assert W % 128 == 0, "pad the code width to a lane multiple"
+        assert 1 <= band <= 63, "band window covers B <= 63"
+        B = int(band)
+        # q_band at row 0: slot k holds q[k - B] (zeros where i < 0)
+        qinit = jnp.concatenate(
+            [
+                jnp.zeros((P, B), jnp.uint8),
+                qrows[:, : BW - B],
+            ],
+            axis=1,
+        )
+        # incoming code per row r: q[r + (BW-1) - B] -> shift left
+        shift = BW - 1 - B
+        qshift = jnp.concatenate(
+            [qrows[:, shift:], jnp.zeros((P, shift), jnp.uint8)], axis=1
+        )
+        grid = (P // P_TILE,)
+        params = jnp.array([mm, go, ge, B], dtype=jnp.int32)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((P, BW), jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((P_TILE, BW), lambda p: (p, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P_TILE, W), lambda p: (p, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P_TILE, W), lambda p: (p, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P_TILE, 1), lambda p: (p, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P_TILE, 1), lambda p: (p, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((P_TILE, BW), lambda p: (p, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(
+            qinit, qshift, trows,
+            qlens.astype(jnp.int32).reshape(P, 1),
+            tlens.astype(jnp.int32).reshape(P, 1),
+            params,
+        )
+        return out[:, 0]
+
+    return call
+
+
+def band_for_cutoff(cutoff: int, go: int, ge: int) -> int:
+    """Smallest band B with gapopen + B*gapextend > cutoff: every cell
+    off the band costs more than any acceptable pair, so the banded
+    score classifies accept/reject exactly (docs/PARITY.md sect. 5)."""
+    B = (cutoff - go) // ge + 1
+    return max(1, int(B))

@@ -131,12 +131,17 @@ class DeviceAligner:
         self.lengths = jnp.asarray(lengths_np.astype(np.int32))
         self.n = n
         self._pallas = None
+        self._pallas_band = None
         if jax.default_backend() == "tpu" and os.environ.get(
             "SWARM_TPU_PALLAS", "1"
         ) != "0":
-            from .pallas_nw import make_banded_scores_pallas
+            from .pallas_nw import (
+                make_banded_scores_pallas,
+                make_banded_scores_pallas_band,
+            )
 
             kernel = make_banded_scores_pallas(P_TILE=8)
+            kernel_band = make_banded_scores_pallas_band(P_TILE=8)
 
             @partial(jax.jit, static_argnames=("mm", "go", "ge"))
             def pallas_scores(padded, lengths, seed_id, ids, mm, go, ge):
@@ -147,14 +152,40 @@ class DeviceAligner:
                 qlens = jnp.broadcast_to(lengths[seed_id], tlens.shape)
                 return kernel(qrows, trows, qlens, tlens, mm, go, ge)
 
+            @partial(jax.jit, static_argnames=("mm", "go", "ge", "band"))
+            def pallas_scores_band(padded, lengths, seed_id, ids,
+                                   mm, go, ge, band):
+                tid = jnp.maximum(ids, 0)
+                trows = padded[tid]
+                tlens = jnp.where(ids >= 0, lengths[tid], 0)
+                qrows = jnp.broadcast_to(padded[seed_id], trows.shape)
+                qlens = jnp.broadcast_to(lengths[seed_id], tlens.shape)
+                return kernel_band(qrows, trows, qlens, tlens,
+                                   mm, go, ge, band)
+
             self._pallas = pallas_scores
+            self._pallas_band = pallas_scores_band
 
     def scores(self, seed_id: int, target_ids: np.ndarray,
-               mismatch: int, gapopen: int, gapextend: int) -> np.ndarray:
+               mismatch: int, gapopen: int, gapextend: int,
+               cutoff: int = None) -> np.ndarray:
         B = len(target_ids)
         b_pad = 1 << max(11, (B - 1).bit_length())
         ids = np.full(b_pad, -1, dtype=np.int32)
         ids[:B] = target_ids
+        if cutoff is not None and self._pallas_band is not None:
+            # the O(rows*128) banded kernel: exact up to the cutoff,
+            # conservative beyond it — all the screen consumes
+            from .pallas_nw import band_for_cutoff
+
+            band = band_for_cutoff(cutoff, gapopen, gapextend)
+            if band <= 63:
+                out = self._pallas_band(
+                    self.padded, self.lengths, jnp.int32(seed_id),
+                    jnp.asarray(ids), mm=mismatch, go=gapopen,
+                    ge=gapextend, band=band,
+                )
+                return np.asarray(out)[:B]
         if self._pallas is not None:
             out = self._pallas(
                 self.padded, self.lengths, jnp.int32(seed_id),

@@ -90,3 +90,58 @@ def test_pallas_kernel_matches_host_exactly(penalties):
         )
     )
     assert np.array_equal(got, host.astype(np.int32))
+
+
+def test_banded_kernel_interpret():
+    """The production banded kernel (O(rows*128)): exact scores up to
+    the band bound, conservative beyond (ops/pallas_nw.py)."""
+    import numpy as np
+
+    from swarm_tpu.ops.pallas_nw import (
+        band_for_cutoff,
+        make_banded_scores_pallas_band,
+    )
+
+    rng = np.random.default_rng(5)
+    P, W = 16, 256
+    mm, go, ge = 18, 24, 13
+    d = 3
+    cutoff = d * max(mm, go + ge)
+    band = band_for_cutoff(cutoff, go, ge)
+    assert go + band * ge > cutoff
+
+    qrows = np.zeros((P, W), np.uint8)
+    trows = np.zeros((P, W), np.uint8)
+    qlens = np.zeros(P, np.int32)
+    tlens = np.zeros(P, np.int32)
+    for p in range(P):
+        L = int(rng.integers(150, 230))
+        q = rng.integers(1, 5, L).astype(np.uint8)
+        t = q.copy()
+        n_ed = int(rng.integers(1, 4) if p % 2 == 0 else rng.integers(30, 60))
+        for _ in range(n_ed):
+            op = int(rng.integers(0, 3))
+            pos = int(rng.integers(0, len(t)))
+            if op == 0:
+                t[pos] = 1 + (t[pos] % 4)
+            elif op == 1 and len(t) > 5:
+                t = np.delete(t, pos)
+            else:
+                t = np.insert(t, pos, rng.integers(1, 5))
+        qrows[p, :L] = q
+        qlens[p] = L
+        tlens[p] = len(t)
+        trows[p, : len(t)] = t
+
+    call = make_banded_scores_pallas_band(P_TILE=8, interpret=True)
+    got = np.asarray(call(qrows, trows, qlens, tlens, mm, go, ge, band))
+    for p in range(P):
+        s_ideal, _, _ = search_diffs(
+            qrows[p, : qlens[p]], trows[p : p + 1, : tlens[p]],
+            np.array([tlens[p]]), mm, go, ge, 16,
+        )
+        si, sb = int(s_ideal[0]), int(got[p])
+        if si <= cutoff:
+            assert sb == si, (p, si, sb)
+        else:
+            assert sb > cutoff, (p, si, sb)
