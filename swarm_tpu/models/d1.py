@@ -625,12 +625,22 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
     attached_u8 = np.asarray(st.swarm_attached, dtype=np.uint8)
     no_grafts = not attached_u8.any()
 
+    if not no_grafts and arena is not None and st.swarm_members is not None:
+        # the graft splice mutated the per-swarm member lists; rebuild
+        # the flat CSR so the native writers cover the grafted path too
+        memb = [np.asarray(m, dtype=np.int64) for m in st.swarm_members]
+        st.flat_members = (
+            np.concatenate(memb) if memb else np.zeros(0, dtype=np.int64)
+        )
+        st.flat_bounds = np.zeros(len(memb) + 1, dtype=np.int64)
+        if memb:
+            np.cumsum([len(m) for m in memb], out=st.flat_bounds[1:])
+
     # swarms
     if (
         arena is not None
         and not p.opt_mothur
         and st.flat_members is not None
-        and no_grafts
     ):
         progress.init("Writing swarms:   ", swarmcount)
         p.outfile.write(
@@ -638,9 +648,12 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
                 arena, aa, ua, st.flat_members, st.flat_bounds, attached_u8
             ).decode("latin-1")
         )
-        from ..progress import replay_range
+        from ..progress import replay_range, replay_values
 
-        replay_range(progress, swarmcount + 1)
+        if no_grafts:
+            replay_range(progress, swarmcount + 1)
+        else:
+            replay_values(progress, np.nonzero(attached_u8 == 0)[0] + 1)
         progress.done()
     elif p.opt_mothur:
         _ensure_members(st)
@@ -723,7 +736,7 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
         progress.done()
 
     # uclust
-    if p.opt_uclust_file and arena is not None and no_grafts and st.flat_members is not None:
+    if p.opt_uclust_file and arena is not None and st.flat_members is not None:
         progress.init("Writing UCLUST:   ", swarmcount)
         blob = _native.write_uclust_d1(
             db, arena, aa, ua, st.flat_members, st.flat_bounds, attached_u8,
@@ -734,7 +747,7 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
             p.uclustfile.write(blob.decode("latin-1"))
             from ..progress import replay_range
 
-            replay_range(progress, swarmcount)
+            replay_range(progress, int(np.sum(attached_u8 == 0)))
             progress.done()
         else:
             _write_uclust_python(p, db, progress, st, ua, aa, swarmcount)
@@ -745,7 +758,7 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
     # stats
     if p.opt_statistics_file:
         progress.init("Writing stats:    ", swarmcount)
-        if arena is not None and no_grafts:
+        if arena is not None:
             p.statsfile.write(
                 _native.write_stats_d1(
                     arena, ua, st.swarm_seed, st.swarm_size, st.swarm_mass,
@@ -754,9 +767,12 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
             )
             from ..progress import replay_range
 
-            replay_range(progress, swarmcount)
+            # reference counter: 0..kept-1 regardless of where the
+            # attached swarms sit (src/algod1.cc:1045-1061)
+            replay_range(progress, int(np.sum(attached_u8 == 0)))
         else:
             out = []
+            counter = 0
             for i in range(swarmcount):
                 if st.swarm_attached[i]:
                     continue
@@ -766,6 +782,7 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
                     f"{db.print_id_noabundance(seed, ua)}\t{db.abundances[seed]}\t"
                     f"{st.swarm_singletons[i]}\t{st.swarm_maxgen[i]}\t{st.swarm_maxgen[i]}\n"
                 )
-                progress.update(i)
+                progress.update(counter)
+                counter += 1
             p.statsfile.write("".join(out))
         progress.done()

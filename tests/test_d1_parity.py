@@ -75,3 +75,18 @@ def test_d1_fastidious_bloom_bits(both):
     fasta = amplicon_cloud(seed=24, n_centers=6, cloud_size=6, length=50,
                            max_edits=2, max_abundance=10)
     both.compare(["-f", "-y", "8"] + ALL_OUTPUTS, fasta)
+
+
+def test_fastidious_graft_heavy_all_outputs(both):
+    """Graft-dense corpus (many singleton light swarms near heavy
+    seeds) through every writer — exercises the native grafted-path
+    swarms/uclust/stats writers."""
+    from genfasta import amplicon_cloud
+
+    fasta = amplicon_cloud(seed=451, n_centers=15, cloud_size=40,
+                           length=60, max_edits=4, max_abundance=6)
+    both.compare(
+        ["-f", "-b", "4", "-o", "out.txt", "-s", "stats.txt",
+         "-u", "uclust.txt", "-i", "structure.txt", "-w", "seeds.fasta"],
+        fasta,
+    )
