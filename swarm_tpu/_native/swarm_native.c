@@ -2075,8 +2075,18 @@ static int64_t ref_schedule(const int64_t *ids, const int64_t *lengths,
 }
 
 /* growable scratch for the clustering engine */
+static int64_t band_for_exact(int64_t cutoff, int64_t go, int64_t ge);
+static void nw_pair_ideal_banded(const uint8_t *qseq, int64_t qlen,
+                                 const uint8_t *dseq, int64_t dlen,
+                                 int64_t mismatch, int64_t Q, int64_t R,
+                                 int64_t go, int64_t ge, int64_t sat_max,
+                                 int64_t B, uint8_t *dirs, int64_t *Hbuf,
+                                 int64_t *Ebuf, int64_t *score_out,
+                                 int64_t *diff_out, int64_t *alen_out);
+
 typedef struct {
   int64_t dirs_cap;
+  int64_t d; /* difference threshold: selects the banded 8-bit DP */
   const uint64_t *profiles;
   const uint8_t *arena;      /* offset-based codes (no padded matrix:
                                 one 67 Mnt sequence must not inflate
@@ -2117,11 +2127,29 @@ static int align_targets(alignctx_t *cx, int64_t seed_amp,
     }
   }
   if (cx->bit_mode == 8) {
+    const int64_t cutoff =
+        cx->d * (cx->mismatch > cx->Q ? cx->mismatch : cx->Q);
+    const int64_t band = band_for_exact(cutoff, cx->go, cx->ge);
+    const int64_t width = 2 * band + 1;
     for (int64_t b = 0; b < B; b++) {
-      nw_pair_ideal(q, qlen, cx->arena + cx->offsets[ids[b]],
-                    cx->lengths[ids[b]], cx->mismatch, cx->Q, cx->R, cx->go,
-                    cx->ge, 255, cx->dirs, cx->Hb, cx->Eb, &score, &diffs[b],
-                    &alen);
+      const int64_t dlen = cx->lengths[ids[b]];
+      int64_t ld = qlen > dlen ? qlen - dlen : dlen - qlen;
+      if (ld > band) {
+        /* more gaps than the band allows => cost > cutoff => diff > d;
+         * rejected pairs' diffs are never consumed */
+        diffs[b] = 255;
+        continue;
+      }
+      if (width < qlen) {
+        nw_pair_ideal_banded(q, qlen, cx->arena + cx->offsets[ids[b]], dlen,
+                             cx->mismatch, cx->Q, cx->R, cx->go, cx->ge, 255,
+                             band, cx->dirs, cx->Hb, cx->Eb, &score,
+                             &diffs[b], &alen);
+      } else {
+        nw_pair_ideal(q, qlen, cx->arena + cx->offsets[ids[b]], dlen,
+                      cx->mismatch, cx->Q, cx->R, cx->go, cx->ge, 255,
+                      cx->dirs, cx->Hb, cx->Eb, &score, &diffs[b], &alen);
+      }
     }
     return 0;
   }
@@ -2200,7 +2228,14 @@ int64_t algo_cluster(
   cx.Q = go + ge;
   cx.R = ge;
   cx.bit_mode = bit_mode;
+  cx.d = d;
   cx.dirs = NULL;
+  {
+    int64_t cutoff8 = d * (mismatch > go + ge ? mismatch : go + ge);
+    int64_t w8 = 2 * band_for_exact(cutoff8, go, ge) + 1;
+    if (w8 > maxlen)
+      maxlen = w8;
+  }
   cx.Hb = (int64_t *)malloc((size_t)maxlen * 8);
   cx.Eb = (int64_t *)malloc((size_t)maxlen * 8);
   cx.Hu = (uint32_t *)malloc((size_t)maxlen * 4);
@@ -2393,4 +2428,154 @@ fail:
   free(cx.start_iter); free(cx.junk); free(tpos); free(tids); free(tdiffs);
   free(fold);
   return -1;
+}
+
+/* exported for differential tests: see nw_diffs_banded_batch below */
+
+/* ------------------------------------------------------------------ */
+/* banded ideal-mode DP (8-bit / search8 semantics)                    */
+/* ------------------------------------------------------------------ */
+
+/* Band soundness for BIT-IDENTICAL results (not just accept/reject):
+ * every comparison the backtrack can consult involves values up to
+ * H + Q + R with H <= cutoff on the walked path, so out-of-band cells
+ * may be treated as +INF only if any path through them costs MORE than
+ * cutoff + Q + R. A path leaving the band pays at least
+ * gapopen + B*gapextend, so we need go + B*ge > cutoff + Q + R
+ * (see band_for_exact below). Pairs whose |qlen-dlen| > B are rejected
+ * outright (their cost > cutoff implies diff > d, and rejected pairs'
+ * reported diffs are never consumed). Only the 8-bit kernel may be
+ * banded: the 16-bit artifact's junk left boundary can leak cheap
+ * paths through out-of-band cells.
+ */
+
+#define BAND_INF (1LL << 40)
+
+static int64_t band_for_exact(int64_t cutoff, int64_t go, int64_t ge) {
+  /* smallest B with go + B*ge > cutoff + (go+ge) + ge */
+  int64_t need = cutoff + go + 2 * ge + 1 - go;
+  int64_t B = (need + ge - 1) / ge;
+  return B < 1 ? 1 : B;
+}
+
+/* dirs layout: [dlen][2B+1], slot = col - row + B. */
+static void nw_pair_ideal_banded(const uint8_t *qseq, int64_t qlen,
+                                 const uint8_t *dseq, int64_t dlen,
+                                 int64_t mismatch, int64_t Q, int64_t R,
+                                 int64_t go, int64_t ge, int64_t sat_max,
+                                 int64_t B, uint8_t *dirs, int64_t *Hbuf,
+                                 int64_t *Ebuf, int64_t *score_out,
+                                 int64_t *diff_out, int64_t *alen_out) {
+  const int64_t width = 2 * B + 1;
+  /* slot k of row -1 carries H[-1][i-1] and E entering row 0 at
+   * column i-1, where i = k - B at row 0 */
+  for (int64_t k = 0; k < width; k++) {
+    int64_t im1 = k - B - 1;
+    Hbuf[k] = im1 >= 0 && im1 < qlen ? Q + im1 * R : BAND_INF;
+    Ebuf[k] = im1 >= 0 && im1 < qlen ? 2 * Q + im1 * R : BAND_INF;
+  }
+  int64_t score = BAND_INF;
+  for (int64_t row = 0; row < dlen; row++) {
+    uint8_t *dirrow = dirs + row * width;
+    int64_t F = BAND_INF; /* running F along the row (within the band) */
+    for (int64_t k = 0; k < width; k++) {
+      const int64_t i = row + k - B;
+      if (i < 0)
+        continue; /* slot ahead of the query start this row */
+      if (i >= qlen) {
+        Hbuf[k] = BAND_INF;
+        Ebuf[k] = BAND_INF;
+        continue;
+      }
+      /* same slot one row up is (i-1, row-1): the diagonal */
+      int64_t diag_in;
+      if (i == 0) {
+        diag_in = row == 0 ? 0 : go + row * ge;
+        F = 2 * go + (row + 2) * ge; /* F boundary enters at column 0 */
+      } else {
+        diag_in = Hbuf[k];
+      }
+      const int64_t diag =
+          (diag_in >= BAND_INF ? BAND_INF
+                               : diag_in + (dseq[row] == qseq[i] ? 0 : mismatch));
+      /* up (i, row-1): slot k+1 one row up (not yet overwritten) */
+      const int64_t E_in = k + 1 < width ? Ebuf[k + 1] : BAND_INF;
+      int64_t pre = diag < E_in ? diag : E_in;
+      int64_t Hnew = pre < F ? pre : F;
+      uint8_t bits = 0;
+      if (diag <= F)
+        bits |= 1;
+      {
+        int64_t m = diag < F ? diag : F;
+        if (E_in <= m)
+          bits |= 2;
+      }
+      int64_t hq = Hnew + Q;
+      if (hq <= F + R)
+        bits |= 4;
+      if (hq <= E_in + R)
+        bits |= 8;
+      dirrow[k] = bits;
+      Hbuf[k] = Hnew; /* becomes the diagonal of (i+1, row+1) */
+      int64_t Enew = hq < E_in + R ? hq : E_in + R;
+      Ebuf[k] = Enew > BAND_INF ? BAND_INF : Enew; /* read at k+1 next row */
+      int64_t openF = pre + Q;
+      F = F + R < openF ? F + R : openF;
+      if (F > BAND_INF)
+        F = BAND_INF;
+      if (row == dlen - 1 && i == qlen - 1)
+        score = Hnew;
+    }
+  }
+  *score_out = score >= BAND_INF ? BAND_INF : score;
+  if (score >= sat_max || score >= BAND_INF) {
+    *diff_out = sat_max;
+    *alen_out = 0;
+    return;
+  }
+  int64_t column = qlen - 1, row = dlen - 1;
+  int64_t aligned = 0, matches = 0;
+  int op = 0;
+  while (column >= 0 && row >= 0) {
+    aligned++;
+    int64_t slot = column - row + B;
+    uint8_t cell = slot >= 0 && slot < width ? dirs[row * width + slot] : 0;
+    if (op == 1 && !(cell & 8))
+      row--;
+    else if (op == 2 && !(cell & 4))
+      column--;
+    else if (cell & 2) {
+      row--;
+      op = 1;
+    } else if (!(cell & 1)) {
+      column--;
+      op = 2;
+    } else {
+      if (qseq[column] == dseq[row])
+        matches++;
+      column--;
+      row--;
+      op = 3;
+    }
+  }
+  aligned += column + 1 + row + 1;
+  *diff_out = aligned - matches;
+  *alen_out = aligned;
+}
+
+
+/* Test wrapper: banded ideal DP over a batch (scratch caller-owned:
+ * dirs [dlen_max*(2B+1)], Hbuf/Ebuf [2B+1]). */
+void nw_diffs_banded_batch(const uint8_t *qseq, int64_t qlen,
+                           const uint8_t *dseqs, const int64_t *dlens,
+                           int64_t dlen_max, int64_t B, int64_t mismatch,
+                           int64_t go, int64_t ge, int64_t band,
+                           uint8_t *dirs, int64_t *Hbuf, int64_t *Ebuf,
+                           int64_t *scores, int64_t *diffs,
+                           int64_t *alignlengths) {
+  for (int64_t b = 0; b < B; b++) {
+    nw_pair_ideal_banded(qseq, qlen, dseqs + b * dlen_max, dlens[b], mismatch,
+                         go + ge, ge, go, ge, 255, band, dirs, Hbuf, Ebuf,
+                         &scores[b], &diffs[b], &alignlengths[b]);
+  }
 }

@@ -107,3 +107,69 @@ def test_nw_align_matches_python():
         finally:
             _native.lib = lib
         assert got == want
+
+
+def test_banded_matches_full_for_accepted_pairs():
+    """The banded 8-bit DP (nw_pair_ideal_banded) is bit-identical to
+    the full DP for every pair the engine can accept, and never
+    accepts a pair the full DP rejects (band soundness argument in
+    swarm_native.c)."""
+    import ctypes
+    import random
+
+    import numpy as np
+
+    from swarm_tpu import _native
+
+    if not _native.available():
+        return
+    lib = _native.lib
+    lib.nw_diffs_banded_batch.restype = None
+    mm, go, ge = 18, 24, 13
+    for d in (2, 3, 5):
+        cutoff = d * max(mm, go + ge)
+        # band_for_exact: go + B*ge > cutoff + (go+ge) + ge
+        band = max(1, (cutoff + go + 2 * ge + 1 - go + ge - 1) // ge)
+        width = 2 * band + 1
+        rng = random.Random(70 + d)
+        for trial in range(40):
+            ql = rng.randint(30, 200)
+            q = np.array([rng.randint(1, 4) for _ in range(ql)], np.uint8)
+            t = list(q)
+            for _ in range(rng.randint(0, 8)):
+                op = rng.randint(0, 2)
+                pos = rng.randrange(len(t))
+                if op == 0:
+                    t[pos] = 1 + (t[pos] % 4)
+                elif op == 1 and len(t) > 5:
+                    del t[pos]
+                else:
+                    t.insert(pos, rng.randint(1, 4))
+            t = np.array(t, np.uint8)
+            if abs(len(t) - ql) > band:
+                continue
+            rows = t[None, :]
+            lens = np.array([len(t)], np.int64)
+            s_f, d_f, a_f = _native.nw_diffs_batch(
+                q, rows, lens, mm, go, ge, 255)
+            dirs = np.empty(len(t) * width, np.uint8)
+            Hb = np.empty(width, np.int64)
+            Eb = np.empty(width, np.int64)
+            s_b = np.empty(1, np.int64)
+            d_b = np.empty(1, np.int64)
+            a_b = np.empty(1, np.int64)
+            lib.nw_diffs_banded_batch(
+                _native._ptr(np.ascontiguousarray(q)), ctypes.c_int64(ql),
+                _native._ptr(np.ascontiguousarray(rows)),
+                _native._ptr(lens), ctypes.c_int64(len(t)),
+                ctypes.c_int64(1), ctypes.c_int64(mm), ctypes.c_int64(go),
+                ctypes.c_int64(ge), ctypes.c_int64(band),
+                _native._ptr(dirs), _native._ptr(Hb), _native._ptr(Eb),
+                _native._ptr(s_b), _native._ptr(d_b), _native._ptr(a_b),
+            )
+            if int(d_f[0]) <= d:
+                assert int(d_b[0]) == int(d_f[0]), (d, trial, d_f, d_b)
+                assert int(a_b[0]) == int(a_f[0])
+                assert int(s_b[0]) == int(s_f[0])
+            else:
+                assert int(d_b[0]) > d, (d, trial, d_f, d_b)
