@@ -683,3 +683,30 @@ def algo_cluster(profiles, codes, offsets, lengths, abundances, d,
             "alignments": int(summary[5]),
         },
     }
+
+
+def d1_network(codes, offsets, lengths, abundances, no_break):
+    """(edges_from, edges_to) for d=1 via the host variant-hash builder
+    (swarm_native.c: d1_network_native). Same contract as
+    ops/neighbors.py:build_network."""
+    n = len(offsets)
+    lib.d1_network_native.restype = ctypes.c_int64
+    cap = max(8 * n, 64)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    abundances = np.ascontiguousarray(abundances, dtype=np.int64)
+    while True:
+        ef = np.empty(cap, dtype=np.int64)
+        et = np.empty(cap, dtype=np.int64)
+        cnt = lib.d1_network_native(
+            _ptr(codes), _ptr(offsets), _ptr(lengths), ctypes.c_int64(n),
+            _ptr(abundances), ctypes.c_int(1 if no_break else 0),
+            _ptr(ef), _ptr(et), ctypes.c_int64(cap),
+        )
+        if cnt == -1:
+            cap *= 2
+            continue
+        if cnt < 0:
+            raise MemoryError("d1_network_native")
+        return ef[:cnt], et[:cnt]

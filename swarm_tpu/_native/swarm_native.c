@@ -2579,3 +2579,226 @@ void nw_diffs_banded_batch(const uint8_t *qseq, int64_t qlen,
                          &scores[b], &diffs[b], &alignlengths[b]);
   }
 }
+
+/* ------------------------------------------------------------------ */
+/* host d=1 network builder (variant hashing + hash table)             */
+/* ------------------------------------------------------------------ */
+
+/* The device engines build the d=1 network with a sorted key join;
+ * this is the latency-optimized HOST equivalent for small inputs and
+ * the no-device fallback (re-derivation of the same contract as
+ * ops/neighbors.py:build_network — every unordered pair at edit
+ * distance exactly 1, expanded to ordered edges under the abundance
+ * rule, sorted by (from, to)). Positional Zobrist hashing with
+ * prefix/shifted-suffix split gives O(1) per variant: substitutions
+ * flip one table entry; a deletion at p is pre[p] ^ sufshift[p+1]
+ * where sufshift accumulates Z[q-1][s_q] backwards. Insertions are
+ * the target side's deletions. Hash hits verify with a two-pointer
+ * distance-1 check, so hash collisions cannot create edges. */
+
+static inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+static inline uint64_t zpos(int64_t pos, int c) {
+  return splitmix64(((uint64_t)pos << 2) | (uint64_t)c);
+}
+
+static int dist1_check(const uint8_t *a, int64_t la, const uint8_t *b,
+                       int64_t lb) {
+  if (la == lb) {
+    int64_t diffs = 0;
+    for (int64_t i = 0; i < la; i++)
+      if (a[i] != b[i] && ++diffs > 1)
+        return 0;
+    return diffs == 1;
+  }
+  if (la < lb) {
+    const uint8_t *t = a;
+    a = b;
+    b = t;
+    int64_t tl = la;
+    la = lb;
+    lb = tl;
+  }
+  if (la != lb + 1)
+    return 0;
+  int64_t i = 0;
+  while (i < lb && a[i] == b[i])
+    i++;
+  /* skip one char of the longer */
+  return memcmp(a + i + 1, b + i, (size_t)(lb - i)) == 0;
+}
+
+/* Returns the ordered edge count, or -1 when caps are too small
+ * (caller doubles and retries), or -2 on alloc failure. */
+int64_t d1_network_native(const uint8_t *arena, const int64_t *offsets,
+                          const int64_t *lengths, int64_t n,
+                          const int64_t *abundances, int no_break,
+                          int64_t *ef_out, int64_t *et_out,
+                          int64_t cap_out) {
+  if (n == 0)
+    return 0;
+  int64_t maxlen = 1;
+  for (int64_t i = 0; i < n; i++)
+    if (lengths[i] > maxlen)
+      maxlen = lengths[i];
+
+  uint64_t *seqhash = (uint64_t *)malloc((size_t)n * 8);
+  int64_t cap_tab = 1;
+  while (cap_tab < 2 * n)
+    cap_tab <<= 1;
+  int64_t *slots = (int64_t *)malloc((size_t)cap_tab * 8);
+  uint64_t *pre = (uint64_t *)malloc((size_t)(maxlen + 1) * 8);
+  uint64_t *sufshift = (uint64_t *)malloc((size_t)(maxlen + 1) * 8);
+  int64_t pair_cap = 4 * n + 64;
+  uint64_t *pairs = (uint64_t *)malloc((size_t)pair_cap * 8);
+  if (seqhash == NULL || slots == NULL || pre == NULL || sufshift == NULL ||
+      pairs == NULL) {
+    free(seqhash); free(slots); free(pre); free(sufshift); free(pairs);
+    return -2;
+  }
+  for (int64_t i = 0; i < cap_tab; i++)
+    slots[i] = -1;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t *s = arena + offsets[i];
+    uint64_t h = 0;
+    for (int64_t p = 0; p < lengths[i]; p++)
+      h ^= zpos(p, s[p]);
+    seqhash[i] = h;
+    uint64_t slot = h & (uint64_t)(cap_tab - 1);
+    while (slots[slot] >= 0)
+      slot = (slot + 1) & (uint64_t)(cap_tab - 1);
+    slots[slot] = i;
+  }
+
+  int64_t n_pairs = 0;
+  int rc = 0;
+  for (int64_t a = 0; a < n && rc == 0; a++) {
+    const uint8_t *s = arena + offsets[a];
+    const int64_t L = lengths[a];
+    const uint64_t full = seqhash[a];
+    pre[0] = 0;
+    for (int64_t p = 0; p < L; p++)
+      pre[p + 1] = pre[p] ^ zpos(p, s[p]);
+    sufshift[L] = 0;
+    for (int64_t p = L - 1; p >= 1; p--)
+      sufshift[p] = sufshift[p + 1] ^ zpos(p - 1, s[p]);
+
+    /* probe hv; verify dist-1 on hash match */
+    for (int64_t p = 0; p <= L; p++) {
+      uint64_t hv_del = 0;
+      int have_del = 0;
+      if (p < L && L > 1) {
+        hv_del = pre[p] ^ sufshift[p + 1];
+        have_del = 1;
+      }
+      for (int v = 0; v < 4; v++) {
+        uint64_t hv;
+        if (v < 3) {
+          if (p >= L)
+            continue;
+          /* substitution to one of the three other codes (1..4) */
+          int oc = s[p];
+          int c = oc + 1 + v;
+          if (c > 4)
+            c -= 4;
+          hv = full ^ zpos(p, oc) ^ zpos(p, c);
+        } else {
+          if (!have_del)
+            continue;
+          hv = hv_del;
+        }
+        uint64_t slot = hv & (uint64_t)(cap_tab - 1);
+        while (slots[slot] >= 0) {
+          int64_t b = slots[slot];
+          slot = (slot + 1) & (uint64_t)(cap_tab - 1);
+          if (b == a || seqhash[b] != hv)
+            continue;
+          if (!dist1_check(s, L, arena + offsets[b], lengths[b]))
+            continue;
+          uint64_t key = a < b ? ((uint64_t)a << 32) | (uint64_t)b
+                               : ((uint64_t)b << 32) | (uint64_t)a;
+          if (n_pairs >= pair_cap) {
+            int64_t nc2 = pair_cap * 2;
+            uint64_t *np_ = (uint64_t *)realloc(pairs, (size_t)nc2 * 8);
+            if (np_ == NULL) {
+              rc = -2;
+              break;
+            }
+            pairs = np_;
+            pair_cap = nc2;
+          }
+          pairs[n_pairs++] = key;
+        }
+        if (rc != 0)
+          break;
+      }
+    }
+  }
+  free(pre);
+  free(sufshift);
+  free(slots);
+  free(seqhash);
+  if (rc != 0) {
+    free(pairs);
+    return rc;
+  }
+
+  /* dedup unordered pairs */
+  int cmp_u64(const void *x, const void *y);
+  qsort(pairs, (size_t)n_pairs, 8, cmp_u64);
+  int64_t m = 0;
+  for (int64_t i = 0; i < n_pairs; i++)
+    if (i == 0 || pairs[i] != pairs[i - 1])
+      pairs[m++] = pairs[i];
+
+  /* ordered edges under the abundance rule, sorted by (from, to):
+   * emit per 'from' in two sweeps (pairs are sorted by (lo, hi), so a
+   * stable expansion needs a final sort) */
+  int64_t cnt = 0;
+  for (int64_t i = 0; i < m; i++) {
+    int64_t lo = (int64_t)(pairs[i] >> 32);
+    int64_t hi = (int64_t)(pairs[i] & 0xFFFFFFFFULL);
+    if (no_break || abundances[lo] >= abundances[hi]) {
+      if (cnt >= cap_out) {
+        free(pairs);
+        return -1;
+      }
+      ef_out[cnt] = lo;
+      et_out[cnt] = hi;
+      cnt++;
+    }
+    if (no_break || abundances[hi] >= abundances[lo]) {
+      if (cnt >= cap_out) {
+        free(pairs);
+        return -1;
+      }
+      ef_out[cnt] = hi;
+      et_out[cnt] = lo;
+      cnt++;
+    }
+  }
+  free(pairs);
+  /* sort edges by (from, to): reuse the packed-key trick */
+  uint64_t *packed = (uint64_t *)malloc((size_t)(cnt > 0 ? cnt : 1) * 8);
+  if (packed == NULL)
+    return -2;
+  for (int64_t i = 0; i < cnt; i++)
+    packed[i] = ((uint64_t)ef_out[i] << 32) | (uint64_t)et_out[i];
+  qsort(packed, (size_t)cnt, 8, cmp_u64);
+  for (int64_t i = 0; i < cnt; i++) {
+    ef_out[i] = (int64_t)(packed[i] >> 32);
+    et_out[i] = (int64_t)(packed[i] & 0xFFFFFFFFULL);
+  }
+  free(packed);
+  return cnt;
+}
+
+int cmp_u64(const void *x, const void *y) {
+  uint64_t a = *(const uint64_t *)x, b = *(const uint64_t *)y;
+  return a < b ? -1 : a > b ? 1 : 0;
+}

@@ -22,6 +22,8 @@ sequence, hash randomness never affects output (reference SURVEY §3.5).
 
 from typing import Tuple
 
+import os
+
 import numpy as np
 
 _RNG_SEED = 0x5EED5EED
@@ -313,6 +315,19 @@ class NeighborIndex:
         if n == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
         backend = self._resolve_backend()
+        from .. import _native
+
+        requested = os.environ.get("SWARM_TPU_BACKEND", "auto")
+        if _native.available() and (
+            backend == "numpy"
+            or (requested == "auto" and n < 32768)
+        ):
+            # latency-optimized host path: for small inputs the device
+            # dispatch overhead dominates; same edge contract
+            return _native.d1_network(
+                self.db.codes, self.db.offsets, self.db.lengths,
+                np.asarray(abundances, dtype=np.int64), no_break,
+            )
         if backend == "jax":
             from .neighbors_sortjoin import (
                 SentinelCollision,

@@ -173,3 +173,55 @@ def test_banded_matches_full_for_accepted_pairs():
                 assert int(s_b[0]) == int(s_f[0])
             else:
                 assert int(d_b[0]) > d, (d, trial, d_f, d_b)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("no_break", [False, True])
+def test_d1_network_native_matches_numpy(seed, no_break):
+    """The host variant-hash d=1 builder vs the pure-numpy oracle."""
+    import os
+
+    import numpy as np
+
+    from swarm_tpu import _native
+    from test_jax_neighbors import _random_db
+
+    if not _native.available():
+        return
+    db = _random_db(n=400, min_len=15, max_len=80, seed=100 + seed)
+    ef_c, et_c = _native.d1_network(
+        db.codes, db.offsets, db.lengths,
+        np.asarray(db.abundances, dtype=np.int64), no_break,
+    )
+    old = os.environ.pop("SWARM_TPU_BACKEND", None)
+    os.environ["SWARM_TPU_BACKEND"] = "numpy"
+    os.environ["SWARM_TPU_NATIVE_D1"] = "0"
+    try:
+        from swarm_tpu.ops.neighbors import (
+            variant_hashes, verify_candidates, _join,
+            pad_codes, make_zobrist,
+        )
+
+        max_len = max(int(db.longest), 1)
+        padded = pad_codes(db.codes, db.offsets, db.lengths, max_len)
+        zob = make_zobrist(max_len)
+        seqhash, hashes, valid = variant_hashes(padded, db.lengths, zob)
+        order = np.argsort(seqhash, kind="stable")
+        amp, slot, tgt = _join(hashes, valid, seqhash[order], order)
+        ok = verify_candidates(padded, db.lengths, amp, slot, tgt)
+        amp, tgt = amp[ok], tgt[ok]
+        keep = amp != tgt
+        if not no_break:
+            keep &= db.abundances[amp] >= db.abundances[tgt]
+        amp, tgt = amp[keep], tgt[keep]
+        o = np.lexsort((tgt, amp))
+        ef_py, et_py = amp[o], tgt[o]
+    finally:
+        if old is None:
+            os.environ.pop("SWARM_TPU_BACKEND", None)
+        else:
+            os.environ["SWARM_TPU_BACKEND"] = old
+        os.environ.pop("SWARM_TPU_NATIVE_D1", None)
+    assert np.array_equal(ef_c, ef_py.astype(np.int64))
+    assert np.array_equal(et_c, et_py.astype(np.int64))
+    assert len(ef_c) > 0
