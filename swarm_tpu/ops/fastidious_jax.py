@@ -274,14 +274,123 @@ class GraftEngine:
             jnp.concatenate(owners), jnp.concatenate(slots),
         )
 
+    #: device key budget for the one-shot sort-join (keys are 16 bytes
+    #: across four sort operands; the sort roughly doubles residency)
+    MAX_JOIN_KEYS = 220_000_000
+
     def graft_candidates(self, heavy_amps: np.ndarray, light_amps: np.ndarray):
         """(count, graft_cand[n]) — same contract as models/d1.py:_graft_join.
 
-        The smaller side is tabled (sorted once + bitset); the bigger
-        side streams. Very large table sides are processed in strips:
-        triple counts add across strips (each tabled amplicon belongs
-        to exactly one) and per-light heavy minima merge element-wise.
+        Default engine: the whole-join sort formulation
+        (graft_join_sorted) — both sides' variant keys in ONE lax.sort,
+        cross-side pairs from windowed runs. When the key volume
+        exceeds MAX_JOIN_KEYS, the bigger side streams in fixed strips
+        (the smaller side's keys ride along in every strip; each pair
+        has exactly one big-side entry, so strip totals add and
+        per-light minima merge). SWARM_TPU_GRAFT=chunked selects the
+        old bitset/searchsorted probe engine.
         """
+        import os
+
+        if os.environ.get("SWARM_TPU_GRAFT") == "chunked":
+            return self._graft_candidates_chunked(heavy_amps, light_amps)
+        if len(heavy_amps) == 0 or len(light_amps) == 0:
+            return 0, np.full(self.n, -1, dtype=np.int64)
+
+        C = self.CHUNK
+        keys_per_amp = 8 * self.width + 4
+
+        def padded_keys(n_amps):
+            return -(-n_amps // C) * C * keys_per_amp
+
+        small_is_heavy = len(heavy_amps) <= len(light_amps)
+        small = heavy_amps if small_is_heavy else light_amps
+        big = light_amps if small_is_heavy else heavy_amps
+        m_small = padded_keys(len(small))
+        strip_amps = ((self.MAX_JOIN_KEYS - m_small) // keys_per_amp // C) * C
+        if strip_amps < C:
+            # pathological: the smaller side alone busts the budget
+            return self._graft_candidates_chunked(heavy_amps, light_amps)
+        strip_amps = min(strip_amps, -(-len(big) // C) * C)
+
+        import time
+
+        _trace = os.environ.get("SWARM_TPU_TIMING")
+
+        def _t(tag, t0):
+            if _trace:
+                import sys as _sys
+
+                _sys.__stderr__.write(f"[graft] {tag} {time.perf_counter()-t0:8.3f}s\n")
+            return time.perf_counter()
+
+        t0 = time.perf_counter()
+        s_hi, s_lo, s_own, s_slot = self._side_keys(small)
+        s_hi.block_until_ready()
+        import numpy as _np
+        _ = _np.asarray(s_hi[:1])
+        t0 = _t("small-side keys", t0)
+        side_small = 1 if small_is_heavy else 0
+        s_meta = s_slot | jnp.int32(side_small << 24)
+
+        total = 0
+        graft_cand = np.full(self.n, -1, dtype=np.int64)
+        all_h, all_l = [], []
+        window = 8
+        cap3 = 1 << 20
+        cap = 1 << 20
+        for start in range(0, len(big), strip_amps):
+            sel = big[start : start + strip_amps]
+            padded_sel = np.full(strip_amps, -1, dtype=np.int64)
+            padded_sel[: len(sel)] = sel
+            b_hi, b_lo, b_own, b_slot = self._side_keys(padded_sel)
+            _ = _np.asarray(b_hi[:1])
+            t0 = _t("strip keys", t0)
+            b_meta = b_slot | jnp.int32((1 - side_small) << 24)
+            k_hi = jnp.concatenate([s_hi, b_hi])
+            k_lo = jnp.concatenate([s_lo, b_lo])
+            owner = jnp.concatenate([s_own, b_own])
+            meta = jnp.concatenate([s_meta, b_meta])
+            while True:
+                h_amp, l_amp, good, n_flagged, n_pairs, over, sentinel = (
+                    graft_join_sorted(
+                        k_hi, k_lo, owner, meta, self.padded, self.lengths,
+                        window=window, cap3=cap3, cap=cap,
+                    )
+                )
+                if int(sentinel) > 0:
+                    raise RuntimeError("sentinel collision in graft join")
+                if int(over) > 0:
+                    window *= 2
+                    continue
+                if int(n_flagged) > cap3:
+                    cap3 *= 2
+                    continue
+                if int(n_pairs) > cap:
+                    cap *= 2
+                    continue
+                break
+            t0 = _t("join program(s)", t0)
+            good_np = np.asarray(good)
+            t0 = _t("good D2H", t0)
+            if good_np.any():
+                all_h.append(np.asarray(h_amp)[good_np].astype(np.int64))
+                all_l.append(np.asarray(l_amp)[good_np].astype(np.int64))
+                total += int(good_np.sum())
+
+        if total:
+            h = np.concatenate(all_h)
+            l = np.concatenate(all_l)
+            order = np.lexsort((h, l))
+            l_sorted, h_sorted = l[order], h[order]
+            first = np.ones(len(l_sorted), dtype=bool)
+            first[1:] = l_sorted[1:] != l_sorted[:-1]
+            graft_cand[l_sorted[first]] = h_sorted[first]
+        return total, graft_cand
+
+    def _graft_candidates_chunked(self, heavy_amps, light_amps):
+        """The round-1 probe engine (bitset + searchsorted), retained
+        as the fallback and differential oracle."""
         keys_per_amp = 8 * self.width + 4
         max_table = max(self.CHUNK, self.MAX_TABLE_KEYS // keys_per_amp)
         table_is_heavy = len(heavy_amps) < len(light_amps)
@@ -354,7 +463,9 @@ class GraftEngine:
                     continue
                 break
 
+            t0 = _t("join program(s)", t0)
             good_np = np.asarray(good)
+            t0 = _t("good D2H", t0)
             if good_np.any():
                 all_h.append(np.asarray(h_amp)[good_np].astype(np.int64))
                 all_l.append(np.asarray(l_amp)[good_np].astype(np.int64))
@@ -369,3 +480,113 @@ class GraftEngine:
             first[1:] = l_sorted[1:] != l_sorted[:-1]
             graft_cand[l_sorted[first]] = h_sorted[first]
         return total, graft_cand
+
+
+@partial(jax.jit, static_argnames=("window", "cap3", "cap"))
+def graft_join_sorted(
+    k_hi, k_lo, owner, meta, padded, lengths, window, cap3, cap
+):
+    """Whole-join sort formulation: one lax.sort over BOTH sides' variant
+    keys, cross-side pairs from windowed runs, midpoint verification —
+    the d=1 network's join pattern (neighbors_sortjoin.join_pairs)
+    applied to the graft join. meta packs slot | side << 24.
+
+    Returns (h_amp, l_amp, good, n_flagged, n_pairs, overflow_run,
+    sentinel_hits); retry with bigger caps/window on overflow. Replaces
+    the chunked searchsorted/bitset probe engine (whose per-chunk
+    gathers were the whole fastidious wall at scale: XLA sort runs
+    ~100x faster than gather-based probing on this hardware).
+    """
+    M = k_hi.shape[0]
+    W = padded.shape[1]
+    invalid = owner < 0
+    sent = jnp.uint32(0xFFFFFFFF)
+    sentinel_hits = jnp.sum(
+        (~invalid) & (k_hi == sent) & (k_lo == sent), dtype=jnp.int32
+    )
+    k_hi = jnp.where(invalid, sent, k_hi)
+    k_lo = jnp.where(invalid, sent, k_lo)
+    s_hi, s_lo, s_own, s_meta = jax.lax.sort(
+        (k_hi, k_lo, owner, meta), num_keys=2
+    )
+    s_side = (s_meta >> 24) & 1
+    s_slot = s_meta & ((1 << 24) - 1)
+
+    def shifted_cross(j):
+        eq = (s_hi[j:] == s_hi[:-j]) & (s_lo[j:] == s_lo[:-j])
+        eq = eq & (s_own[j:] >= 0) & (s_own[:-j] >= 0)
+        eq = eq & (s_side[j:] != s_side[:-j])
+        return jnp.concatenate([jnp.zeros(j, dtype=bool), eq])
+
+    def shifted_run(j):
+        eq = (s_hi[j:] == s_hi[:-j]) & (s_lo[j:] == s_lo[:-j])
+        eq = eq & (s_own[j:] >= 0) & (s_own[:-j] >= 0)
+        return jnp.concatenate([jnp.zeros(j, dtype=bool), eq])
+
+    eqs = [shifted_cross(j) for j in range(1, window + 1)]
+    anyflag = eqs[0]
+    for e in eqs[1:]:
+        anyflag = anyflag | e
+    over = (
+        shifted_run(window + 1)
+        if M > window + 1
+        else jnp.zeros(M, dtype=bool)
+    )
+    overflow_run = jnp.sum(over, dtype=jnp.int32)
+
+    n_flagged = jnp.sum(anyflag, dtype=jnp.int32)
+    M32 = -(-M // 32) * 32
+    af = jnp.concatenate(
+        [anyflag, jnp.zeros(M32 - M, dtype=bool)]
+    ).reshape(-1, 32)
+    wflag = jnp.any(af, axis=1)
+    n_words = jnp.sum(wflag, dtype=jnp.int32)
+    (wsel,) = jnp.nonzero(wflag, size=cap3, fill_value=0)
+    w_picked = jnp.arange(cap3, dtype=jnp.int32) < n_words
+    bits = af[wsel] & w_picked[:, None]
+    flat_idx = wsel[:, None] * 32 + jnp.arange(32, dtype=jnp.int32)[None, :]
+    cand = jnp.where(bits, flat_idx, M32).reshape(-1)
+    (sel2,) = jnp.nonzero(cand < M32, size=cap3, fill_value=0)
+    sel = jnp.minimum(cand[sel2], M - 1)
+    picked = jnp.arange(cap3, dtype=jnp.int32) < n_flagged
+
+    # enumerate the cross-side window pairs of each flagged element
+    a_amp = jnp.where(picked, s_own[sel], -1)
+    a_slot = jnp.where(picked, s_slot[sel], 0)
+    a_side = s_side[sel]
+    pair_cols = []
+    for j in range(1, window + 1):
+        prev = jnp.clip(sel - j, 0, M - 1)
+        ok = picked & eqs[j - 1][sel]
+        pair_cols.append((ok, prev))
+
+    def col(ix, fn, fill):
+        return jnp.stack(
+            [jnp.where(ok, fn(prev), fill) for ok, prev in pair_cols], axis=1
+        ).reshape(-1)
+
+    okflat = jnp.stack([ok for ok, _ in pair_cols], axis=1).reshape(-1)
+    b_amp = col(0, lambda p: s_own[p], -1)
+    b_slot = col(0, lambda p: s_slot[p], 0)
+    a_amp_f = jnp.repeat(a_amp, window)
+    a_slot_f = jnp.repeat(a_slot, window)
+    a_side_f = jnp.repeat(a_side, window)
+
+    n_pairs = jnp.sum(okflat, dtype=jnp.int32)
+    (psel,) = jnp.nonzero(okflat, size=cap, fill_value=0)
+    picked2 = jnp.arange(cap, dtype=jnp.int32) < n_pairs
+
+    pa_amp = jnp.where(picked2, a_amp_f[psel], 0)
+    pa_slot = jnp.where(picked2, a_slot_f[psel], 0)
+    pa_side = a_side_f[psel]
+    pb_amp = jnp.where(picked2, b_amp[psel], 0)
+    pb_slot = jnp.where(picked2, b_slot[psel], 0)
+
+    # midpoint verification (hash equality -> materialized equality)
+    rows_a, len_a = _variant_rows(padded, lengths, pa_amp, pa_slot, W)
+    rows_b, len_b = _variant_rows(padded, lengths, pb_amp, pb_slot, W)
+    good = picked2 & (len_a == len_b) & jnp.all(rows_a == rows_b, axis=1)
+
+    h_amp = jnp.where(pa_side == 1, pa_amp, pb_amp)
+    l_amp = jnp.where(pa_side == 1, pb_amp, pa_amp)
+    return h_amp, l_amp, good, n_flagged, n_pairs, overflow_run, sentinel_hits

@@ -1,0 +1,43 @@
+"""Graft engine equivalence: the whole-join sort formulation vs the
+chunked bitset/searchsorted probe engine (SWARM_TPU_GRAFT=chunked)."""
+
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+from genfasta import amplicon_cloud
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+def _run(tmp_path, tag, fasta, graft_engine):
+    workdir = tmp_path / tag
+    workdir.mkdir()
+    (workdir / "input.fasta").write_text(fasta)
+    env = {
+        **os.environ,
+        "PYTHONPATH": str(REPO_ROOT),
+        "SWARM_TPU_PROGNAME": "swarm",
+    }
+    if graft_engine:
+        env["SWARM_TPU_GRAFT"] = graft_engine
+    shutil.copy2(REPO_ROOT / "bin" / "swarm", workdir / "swarm")
+    r = subprocess.run(
+        [sys.executable, "swarm", "-f", "-o", "out.txt", "-s", "stats.txt",
+         "-i", "structure.txt", "input.fasta"],
+        cwd=workdir, capture_output=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    return workdir, r
+
+
+def test_sortjoin_matches_chunked(tmp_path):
+    fasta = amplicon_cloud(seed=777, n_centers=12, cloud_size=35,
+                           length=70, max_edits=4, max_abundance=8)
+    d_new, r_new = _run(tmp_path, "sortjoin", fasta, None)
+    d_old, r_old = _run(tmp_path, "chunked", fasta, "chunked")
+    assert r_new.stderr == r_old.stderr
+    for f in ("out.txt", "stats.txt", "structure.txt"):
+        assert (d_new / f).read_bytes() == (d_old / f).read_bytes(), f
