@@ -86,6 +86,21 @@ def _variant_rows(padded, lengths, amp, slot, W):
     return out, out_len
 
 
+def _variant_keys_body(padded, lengths, zob, ids):
+    rows = padded[jnp.maximum(ids, 0)]
+    lens = jnp.where(ids >= 0, lengths[jnp.maximum(ids, 0)], 0)
+    (h_hi, h_lo), _, valid = variant_hash_halves(rows, lens, zob)
+    S = h_hi.shape[1]
+    owner = jnp.where(valid & (ids[:, None] >= 0), ids[:, None], -1)
+    slot = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[None, :], owner.shape
+    )
+    return (
+        h_hi.reshape(-1), h_lo.reshape(-1),
+        owner.reshape(-1), slot.reshape(-1),
+    )
+
+
 @partial(jax.jit, static_argnames=("chunk_rows",))
 def variant_keys_chunk(padded, lengths, zob, ids, chunk_rows):
     """Variant-hash key arrays for a chunk of amplicons.
@@ -254,9 +269,14 @@ class GraftEngine:
         self.zob = jnp.asarray(zob_pair_np)
         self.n = padded_np.shape[0]
 
-    def _side_keys(self, amps: np.ndarray):
+    #: keygen rows per dispatch for the sort-join path: each program
+    #: invocation pays a relay round trip (~0.5-1s observed), so keygen
+    #: uses few big dispatches; the old chunked probe keeps CHUNK=4096
+    KEYGEN_CHUNK = 32768
+
+    def _side_keys(self, amps: np.ndarray, chunk: int = None):
         his, los, owners, slots = [], [], [], []
-        C = self.CHUNK
+        C = chunk or self.CHUNK
         for start in range(0, len(amps), C):
             ids = np.full(C, -1, dtype=np.int32)
             sel = amps[start : start + C]
@@ -297,7 +317,7 @@ class GraftEngine:
         if len(heavy_amps) == 0 or len(light_amps) == 0:
             return 0, np.full(self.n, -1, dtype=np.int64)
 
-        C = self.CHUNK
+        C = self.KEYGEN_CHUNK
         keys_per_amp = 8 * self.width + 4
 
         def padded_keys(n_amps):
@@ -325,8 +345,7 @@ class GraftEngine:
             return time.perf_counter()
 
         t0 = time.perf_counter()
-        s_hi, s_lo, s_own, s_slot = self._side_keys(small)
-        s_hi.block_until_ready()
+        s_hi, s_lo, s_own, s_slot = self._side_keys(small, chunk=C)
         import numpy as _np
         _ = _np.asarray(s_hi[:1])
         t0 = _t("small-side keys", t0)
@@ -337,29 +356,32 @@ class GraftEngine:
         graft_cand = np.full(self.n, -1, dtype=np.int64)
         all_h, all_l = [], []
         window = 8
-        cap3 = 1 << 20
-        cap = 1 << 20
+        # the [cap3]/[cap]-sized compaction and verify stages dominate
+        # the join when oversized (measured 11s at 2^20 vs 2.7s at 2^17
+        # for a 220M-key strip): start tight, escalate on overflow
+        cap3 = 1 << 17
+        cap = 1 << 17
         for start in range(0, len(big), strip_amps):
             sel = big[start : start + strip_amps]
-            padded_sel = np.full(strip_amps, -1, dtype=np.int64)
+            padded_sel = np.full(strip_amps, -1, dtype=np.int32)
             padded_sel[: len(sel)] = sel
-            b_hi, b_lo, b_own, b_slot = self._side_keys(padded_sel)
-            _ = _np.asarray(b_hi[:1])
-            t0 = _t("strip keys", t0)
+            b_hi, b_lo, b_own, b_slot = self._side_keys(padded_sel, chunk=C)
             b_meta = b_slot | jnp.int32((1 - side_small) << 24)
-            k_hi = jnp.concatenate([s_hi, b_hi])
-            k_lo = jnp.concatenate([s_lo, b_lo])
-            owner = jnp.concatenate([s_own, b_own])
-            meta = jnp.concatenate([s_meta, b_meta])
+            srt_hi, srt_lo, srt_own, srt_meta, sentinel = graft_sort8(
+                s_hi, s_lo, s_own, s_meta, b_hi, b_lo, b_own, b_meta
+            )
+            del b_hi, b_lo, b_own, b_slot, b_meta
+            t0 = _t("strip keygen+sort", t0)
+            if int(sentinel) > 0:
+                raise RuntimeError("sentinel collision in graft join")
             while True:
-                h_amp, l_amp, good, n_flagged, n_pairs, over, sentinel = (
-                    graft_join_sorted(
-                        k_hi, k_lo, owner, meta, self.padded, self.lengths,
+                h_amp, l_amp, good, n_flagged, n_pairs, over = (
+                    graft_pairs_sorted(
+                        srt_hi, srt_lo, srt_own, srt_meta,
+                        self.padded, self.lengths,
                         window=window, cap3=cap3, cap=cap,
                     )
                 )
-                if int(sentinel) > 0:
-                    raise RuntimeError("sentinel collision in graft join")
                 if int(over) > 0:
                     window *= 2
                     continue
@@ -370,6 +392,7 @@ class GraftEngine:
                     cap *= 2
                     continue
                 break
+            del srt_hi, srt_lo, srt_own, srt_meta
             t0 = _t("join program(s)", t0)
             good_np = np.asarray(good)
             t0 = _t("good D2H", t0)
@@ -482,9 +505,33 @@ class GraftEngine:
         return total, graft_cand
 
 
+@partial(jax.jit, donate_argnums=(4, 5, 6, 7))
+def graft_sort8(t_hi, t_lo, t_own, t_meta, b_hi, b_lo, b_own, b_meta):
+    """Concat both sides' keys and sort — split from the pairing stage
+    so cap/window escalation retries never re-sort; the strip's key
+    buffers are donated. (A keygen+sort fusion was tried and REJECTED:
+    XLA keeps the keygen intermediates, the concat and the sort
+    buffers live at once — 20.7G HBM for a 160M-key strip.)"""
+    k_hi = jnp.concatenate([t_hi, b_hi])
+    k_lo = jnp.concatenate([t_lo, b_lo])
+    owner = jnp.concatenate([t_own, b_own])
+    meta = jnp.concatenate([t_meta, b_meta])
+    invalid = owner < 0
+    sent = jnp.uint32(0xFFFFFFFF)
+    sentinel_hits = jnp.sum(
+        (~invalid) & (k_hi == sent) & (k_lo == sent), dtype=jnp.int32
+    )
+    k_hi = jnp.where(invalid, sent, k_hi)
+    k_lo = jnp.where(invalid, sent, k_lo)
+    s_hi, s_lo, s_own, s_meta = jax.lax.sort(
+        (k_hi, k_lo, owner, meta), num_keys=2
+    )
+    return s_hi, s_lo, s_own, s_meta, sentinel_hits
+
+
 @partial(jax.jit, static_argnames=("window", "cap3", "cap"))
-def graft_join_sorted(
-    k_hi, k_lo, owner, meta, padded, lengths, window, cap3, cap
+def graft_pairs_sorted(
+    s_hi, s_lo, s_own, s_meta, padded, lengths, window, cap3, cap
 ):
     """Whole-join sort formulation: one lax.sort over BOTH sides' variant
     keys, cross-side pairs from windowed runs, midpoint verification —
@@ -497,18 +544,8 @@ def graft_join_sorted(
     gathers were the whole fastidious wall at scale: XLA sort runs
     ~100x faster than gather-based probing on this hardware).
     """
-    M = k_hi.shape[0]
+    M = s_hi.shape[0]
     W = padded.shape[1]
-    invalid = owner < 0
-    sent = jnp.uint32(0xFFFFFFFF)
-    sentinel_hits = jnp.sum(
-        (~invalid) & (k_hi == sent) & (k_lo == sent), dtype=jnp.int32
-    )
-    k_hi = jnp.where(invalid, sent, k_hi)
-    k_lo = jnp.where(invalid, sent, k_lo)
-    s_hi, s_lo, s_own, s_meta = jax.lax.sort(
-        (k_hi, k_lo, owner, meta), num_keys=2
-    )
     s_side = (s_meta >> 24) & 1
     s_slot = s_meta & ((1 << 24) - 1)
 
@@ -589,4 +626,4 @@ def graft_join_sorted(
 
     h_amp = jnp.where(pa_side == 1, pa_amp, pb_amp)
     l_amp = jnp.where(pa_side == 1, pb_amp, pa_amp)
-    return h_amp, l_amp, good, n_flagged, n_pairs, overflow_run, sentinel_hits
+    return h_amp, l_amp, good, n_flagged, n_pairs, overflow_run
