@@ -202,7 +202,14 @@ def time_ours_warm(fasta: Path, cfg: dict, backend: str) -> tuple:
     return best, comparisons
 
 
-def time_ours_cold(fasta: Path, cfg: dict, backend: str) -> float:
+def time_ours_cold(fasta: Path, cfg: dict, backend: str):
+    """One cold-CLI run. On relay-attached TPUs a cold process reloads
+    every executable through a ~30MB/s tunnel (minutes of wall for
+    seconds of CPU), so the run is capped: returns None on timeout.
+    SWARM_TPU_BENCH_COLD=0 skips cold runs entirely."""
+    if os.environ.get("SWARM_TPU_BENCH_COLD", "1") == "0":
+        return None
+    limit = int(os.environ.get("SWARM_TPU_BENCH_COLD_LIMIT", "600"))
     argv = build_args(cfg, "tpu") + [str(fasta)]
     env = {
         **os.environ,
@@ -213,10 +220,14 @@ def time_ours_cold(fasta: Path, cfg: dict, backend: str) -> float:
         "SWARM_TPU_BACKEND": backend,
     }
     t0 = time.perf_counter()
-    r = subprocess.run(
-        [sys.executable, str(REPO / "bin" / "swarm")] + argv,
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,
-    )
+    try:
+        r = subprocess.run(
+            [sys.executable, str(REPO / "bin" / "swarm")] + argv,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,
+            timeout=limit,
+        )
+    except subprocess.TimeoutExpired:
+        return None
     dt = time.perf_counter() - t0
     if r.returncode != 0:
         raise RuntimeError("swarm_tpu cold run failed")
@@ -262,11 +273,16 @@ def main() -> None:
         log(f"[{name}] swarm_tpu warm: {entry['warm_s']}s"
             f" ({entry['amps_per_s']:.0f} amps/s)")
         cold = time_ours_cold(fasta, cfg, backend)
-        entry["cold_s"] = round(cold, 3)
-        log(f"[{name}] swarm_tpu cold: {entry['cold_s']}s")
+        if cold is not None:
+            entry["cold_s"] = round(cold, 3)
+            log(f"[{name}] swarm_tpu cold: {entry['cold_s']}s")
+        else:
+            entry["cold_s"] = None
+            log(f"[{name}] swarm_tpu cold: skipped/capped")
         if ref_bin is not None:
             entry["vs_baseline"] = round(entry["ref_s"] / warm, 3)
-            entry["vs_baseline_cold"] = round(entry["ref_s"] / cold, 3)
+            if cold is not None:
+                entry["vs_baseline_cold"] = round(entry["ref_s"] / cold, 3)
             entry["parity"] = check_parity(cfg)
         results[name] = entry
 
