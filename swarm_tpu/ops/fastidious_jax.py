@@ -36,14 +36,16 @@ from .neighbors_jax import _OTHER3_TABLE, variant_hash_halves
 _MIX = jnp.uint32(0x9E3779B1)  # odd multiplier: (hi ^ lo * MIX) spreads pairs
 
 
-def _decode_slots(slot, W, padded_rows):
+def _decode_slots(slot, W, padded_rows, slot_w=None):
     """(var_type, pos, base) for variant slots (device mirror of
     swarm_tpu.ops.neighbors.decode_slot).
 
     var_type: 0 substitution, 1 deletion, 2 insertion; `pos` is the edit
     position in the NEW sequence; padded_rows: [P, W] owner code rows.
     """
-    tail = slot >= 8 * W
+    if slot_w is None:
+        slot_w = W
+    tail = slot >= 8 * slot_w
     block = jnp.where(tail, 0, slot // 8)
     sub_slot = jnp.where(tail, 0, slot % 8)
 
@@ -58,16 +60,16 @@ def _decode_slots(slot, W, padded_rows):
     pos = jnp.where(tail, 0, jnp.where(sub_slot < 5, block, block + 1))
     base = jnp.where(
         tail,
-        slot - 8 * W,
+        slot - 8 * slot_w,
         jnp.where(sub_slot < 4, sub_slot, jnp.where(sub_slot == 4, 0, ins_base)),
     )
     return var_type, pos, base
 
 
-def _variant_rows(padded, lengths, amp, slot, W):
+def _variant_rows(padded, lengths, amp, slot, W, slot_w=None):
     """Reconstruct variant sequences ([P, W+1] rows, [P] lengths)."""
     rows = padded[amp]  # [P, W]
-    var_type, pos, base = _decode_slots(slot, W, rows)
+    var_type, pos, base = _decode_slots(slot, W, rows, slot_w)
     src_len = lengths[amp]
     out_len = src_len + jnp.where(var_type == 1, -1, jnp.where(var_type == 2, 1, 0))
 
@@ -84,21 +86,6 @@ def _variant_rows(padded, lengths, amp, slot, W):
     out = jnp.where(place, base[:, None].astype(jnp.uint8), out)
     out = jnp.where(idx < out_len[:, None], out, jnp.uint8(0))
     return out, out_len
-
-
-def _variant_keys_body(padded, lengths, zob, ids):
-    rows = padded[jnp.maximum(ids, 0)]
-    lens = jnp.where(ids >= 0, lengths[jnp.maximum(ids, 0)], 0)
-    (h_hi, h_lo), _, valid = variant_hash_halves(rows, lens, zob)
-    S = h_hi.shape[1]
-    owner = jnp.where(valid & (ids[:, None] >= 0), ids[:, None], -1)
-    slot = jnp.broadcast_to(
-        jnp.arange(S, dtype=jnp.int32)[None, :], owner.shape
-    )
-    return (
-        h_hi.reshape(-1), h_lo.reshape(-1),
-        owner.reshape(-1), slot.reshape(-1),
-    )
 
 
 @partial(jax.jit, static_argnames=("chunk_rows",))
@@ -296,7 +283,7 @@ class GraftEngine:
 
     #: device key budget for the one-shot sort-join (keys are 16 bytes
     #: across four sort operands; the sort roughly doubles residency)
-    MAX_JOIN_KEYS = 220_000_000
+    MAX_JOIN_KEYS = 300_000_000
 
     def graft_candidates(self, heavy_amps: np.ndarray, light_amps: np.ndarray):
         """(count, graft_cand[n]) — same contract as models/d1.py:_graft_join.
@@ -318,20 +305,24 @@ class GraftEngine:
             return 0, np.full(self.n, -1, dtype=np.int64)
 
         C = self.KEYGEN_CHUNK
-        keys_per_amp = 8 * self.width + 4
+        # slot layout truncated to the corpus's real length cap
+        lcap = int(-(-int(np.max(np.asarray(self.lengths))) // 16) * 16)
+        lcap = min(lcap, self.width)
+        s_slots = 8 * lcap + 4
 
-        def padded_keys(n_amps):
-            return -(-n_amps // C) * C * keys_per_amp
+        def padded_rows(n_amps):
+            return -(-n_amps // C) * C
 
         small_is_heavy = len(heavy_amps) <= len(light_amps)
         small = heavy_amps if small_is_heavy else light_amps
         big = light_amps if small_is_heavy else heavy_amps
-        m_small = padded_keys(len(small))
-        strip_amps = ((self.MAX_JOIN_KEYS - m_small) // keys_per_amp // C) * C
-        if strip_amps < C:
-            # pathological: the smaller side alone busts the budget
+        m_small = padded_rows(len(small)) * s_slots
+        strip_rows = (
+            (self.MAX_JOIN_KEYS - m_small) // s_slots // C
+        ) * C
+        if strip_rows < C:
             return self._graft_candidates_chunked(heavy_amps, light_amps)
-        strip_amps = min(strip_amps, -(-len(big) // C) * C)
+        strip_rows = min(strip_rows, padded_rows(len(big)))
 
         import time
 
@@ -341,46 +332,59 @@ class GraftEngine:
             if _trace:
                 import sys as _sys
 
-                _sys.__stderr__.write(f"[graft] {tag} {time.perf_counter()-t0:8.3f}s\n")
+                _sys.__stderr__.write(
+                    f"[graft] {tag} {time.perf_counter()-t0:8.3f}s\n"
+                )
             return time.perf_counter()
 
-        t0 = time.perf_counter()
-        s_hi, s_lo, s_own, s_slot = self._side_keys(small, chunk=C)
         import numpy as _np
+
+        def side_keys(amps, rows_total):
+            ids_np = np.full(rows_total, -1, dtype=np.int32)
+            ids_np[: len(amps)] = amps
+            his, los = [], []
+            sent_total = 0
+            for startr in range(0, rows_total, C):
+                ids_j = jnp.asarray(ids_np[startr : startr + C])
+                hi, lo, sent = variant_keys_hilo(
+                    self.padded, self.lengths, self.zob, ids_j,
+                    chunk_rows=C, lcap=lcap,
+                )
+                sent_total += int(sent[0])
+                his.append(hi)
+                los.append(lo)
+            if sent_total > 0:
+                raise RuntimeError("sentinel collision in graft join")
+            return (
+                jnp.concatenate(his) if len(his) > 1 else his[0],
+                jnp.concatenate(los) if len(los) > 1 else los[0],
+                jnp.asarray(ids_np),
+            )
+
+        t0 = time.perf_counter()
+        s_hi, s_lo, ids_small = side_keys(small, padded_rows(len(small)))
         _ = _np.asarray(s_hi[:1])
         t0 = _t("small-side keys", t0)
-        side_small = 1 if small_is_heavy else 0
-        s_meta = s_slot | jnp.int32(side_small << 24)
 
         total = 0
         graft_cand = np.full(self.n, -1, dtype=np.int64)
         all_h, all_l = [], []
         window = 8
-        # the [cap3]/[cap]-sized compaction and verify stages dominate
-        # the join when oversized (measured 11s at 2^20 vs 2.7s at 2^17
-        # for a 220M-key strip): start tight, escalate on overflow
         cap3 = 1 << 17
         cap = 1 << 17
-        for start in range(0, len(big), strip_amps):
-            sel = big[start : start + strip_amps]
-            padded_sel = np.full(strip_amps, -1, dtype=np.int32)
-            padded_sel[: len(sel)] = sel
-            b_hi, b_lo, b_own, b_slot = self._side_keys(padded_sel, chunk=C)
-            b_meta = b_slot | jnp.int32((1 - side_small) << 24)
-            srt_hi, srt_lo, srt_own, srt_meta, sentinel = graft_sort8(
-                s_hi, s_lo, s_own, s_meta, b_hi, b_lo, b_own, b_meta
-            )
-            del b_hi, b_lo, b_own, b_slot, b_meta
+        for start in range(0, len(big), strip_rows):
+            sel = big[start : start + strip_rows]
+            b_hi, b_lo, ids_big = side_keys(sel, strip_rows)
+            srt_hi, srt_lo, srt_idx = graft_sort3(s_hi, s_lo, b_hi, b_lo)
+            del b_hi, b_lo
             t0 = _t("strip keygen+sort", t0)
-            if int(sentinel) > 0:
-                raise RuntimeError("sentinel collision in graft join")
             while True:
-                h_amp, l_amp, good, n_flagged, n_pairs, over = (
-                    graft_pairs_sorted(
-                        srt_hi, srt_lo, srt_own, srt_meta,
-                        self.padded, self.lengths,
-                        window=window, cap3=cap3, cap=cap,
-                    )
+                h_amp, l_amp, good, n_flagged, n_pairs, over = graft_pairs3(
+                    srt_hi, srt_lo, srt_idx, ids_small, ids_big,
+                    self.padded, self.lengths,
+                    window=window, cap3=cap3, cap=cap,
+                    m_small=m_small, s_slots=s_slots, lcap=lcap,
+                    small_is_heavy=small_is_heavy,
                 )
                 if int(over) > 0:
                     window *= 2
@@ -392,7 +396,7 @@ class GraftEngine:
                     cap *= 2
                     continue
                 break
-            del srt_hi, srt_lo, srt_own, srt_meta
+            del srt_hi, srt_lo, srt_idx
             t0 = _t("join program(s)", t0)
             good_np = np.asarray(good)
             t0 = _t("good D2H", t0)
@@ -505,67 +509,73 @@ class GraftEngine:
         return total, graft_cand
 
 
-@partial(jax.jit, donate_argnums=(4, 5, 6, 7))
-def graft_sort8(t_hi, t_lo, t_own, t_meta, b_hi, b_lo, b_own, b_meta):
-    """Concat both sides' keys and sort — split from the pairing stage
-    so cap/window escalation retries never re-sort; the strip's key
-    buffers are donated. (A keygen+sort fusion was tried and REJECTED:
-    XLA keeps the keygen intermediates, the concat and the sort
-    buffers live at once — 20.7G HBM for a 160M-key strip.)"""
+@partial(jax.jit, static_argnames=("chunk_rows", "lcap"))
+def variant_keys_hilo(padded, lengths, zob, ids, chunk_rows, lcap):
+    """(hi [C*(8*lcap+4)], lo, sentinel_hits[1]) — invalid slots carry
+    the all-ones sentinel."""
+    W = padded.shape[1]
+    rows = padded[jnp.maximum(ids, 0)]
+    lens = jnp.where(ids >= 0, lengths[jnp.maximum(ids, 0)], 0)
+    (h_hi, h_lo), _, valid = variant_hash_halves(rows, lens, zob)
+    C = h_hi.shape[0]
+
+    def trunc(x):
+        return jnp.concatenate(
+            [
+                x[:, : 8 * W].reshape(C, W, 8)[:, :lcap].reshape(C, 8 * lcap),
+                x[:, 8 * W :],
+            ],
+            axis=1,
+        )
+
+    h_hi, h_lo, valid = trunc(h_hi), trunc(h_lo), trunc(valid)
+    valid = valid & (ids[:, None] >= 0)
+    sentinel_hits = jnp.sum(
+        valid & (h_hi == _SENT32) & (h_lo == _SENT32), dtype=jnp.int32
+    )
+    hi = jnp.where(valid, h_hi, _SENT32)
+    lo = jnp.where(valid, h_lo, _SENT32)
+    return hi.reshape(-1), lo.reshape(-1), sentinel_hits[None]
+
+
+@partial(jax.jit, donate_argnums=(2, 3))
+def graft_sort3(t_hi, t_lo, b_hi, b_lo):
     k_hi = jnp.concatenate([t_hi, b_hi])
     k_lo = jnp.concatenate([t_lo, b_lo])
-    owner = jnp.concatenate([t_own, b_own])
-    meta = jnp.concatenate([t_meta, b_meta])
-    invalid = owner < 0
-    sent = jnp.uint32(0xFFFFFFFF)
-    sentinel_hits = jnp.sum(
-        (~invalid) & (k_hi == sent) & (k_lo == sent), dtype=jnp.int32
-    )
-    k_hi = jnp.where(invalid, sent, k_hi)
-    k_lo = jnp.where(invalid, sent, k_lo)
-    s_hi, s_lo, s_own, s_meta = jax.lax.sort(
-        (k_hi, k_lo, owner, meta), num_keys=2
-    )
-    return s_hi, s_lo, s_own, s_meta, sentinel_hits
+    idx = jax.lax.iota(jnp.int32, k_hi.shape[0])
+    return jax.lax.sort((k_hi, k_lo, idx), num_keys=2)
 
 
-@partial(jax.jit, static_argnames=("window", "cap3", "cap"))
-def graft_pairs_sorted(
-    s_hi, s_lo, s_own, s_meta, padded, lengths, window, cap3, cap
+@partial(
+    jax.jit,
+    static_argnames=("window", "cap3", "cap", "m_small", "s_slots", "lcap",
+                     "small_is_heavy"),
+)
+def graft_pairs3(
+    s_hi, s_lo, s_idx, ids_small, ids_big, padded, lengths,
+    window, cap3, cap, m_small, s_slots, lcap, small_is_heavy,
 ):
-    """Whole-join sort formulation: one lax.sort over BOTH sides' variant
-    keys, cross-side pairs from windowed runs, midpoint verification —
-    the d=1 network's join pattern (neighbors_sortjoin.join_pairs)
-    applied to the graft join. meta packs slot | side << 24.
-
-    Returns (h_amp, l_amp, good, n_flagged, n_pairs, overflow_run,
-    sentinel_hits); retry with bigger caps/window on overflow. Replaces
-    the chunked searchsorted/bitset probe engine (whose per-chunk
-    gathers were the whole fastidious wall at scale: XLA sort runs
-    ~100x faster than gather-based probing on this hardware).
-    """
+    """Cross-side pairs from windowed runs of the sorted key stream +
+    midpoint verification. Returns (h_amp, l_amp, good, n_flagged,
+    n_pairs, overflow_run)."""
     M = s_hi.shape[0]
     W = padded.shape[1]
-    s_side = (s_meta >> 24) & 1
-    s_slot = s_meta & ((1 << 24) - 1)
+    val = ~((s_hi == _SENT32) & (s_lo == _SENT32))
+    side_small = s_idx < m_small
 
-    def shifted_cross(j):
+    def shifted(j, cross):
         eq = (s_hi[j:] == s_hi[:-j]) & (s_lo[j:] == s_lo[:-j])
-        eq = eq & (s_own[j:] >= 0) & (s_own[:-j] >= 0)
-        eq = eq & (s_side[j:] != s_side[:-j])
+        eq = eq & val[j:] & val[:-j]
+        if cross:
+            eq = eq & (side_small[j:] != side_small[:-j])
         return jnp.concatenate([jnp.zeros(j, dtype=bool), eq])
 
-    def shifted_run(j):
-        eq = (s_hi[j:] == s_hi[:-j]) & (s_lo[j:] == s_lo[:-j])
-        eq = eq & (s_own[j:] >= 0) & (s_own[:-j] >= 0)
-        return jnp.concatenate([jnp.zeros(j, dtype=bool), eq])
-
-    eqs = [shifted_cross(j) for j in range(1, window + 1)]
+    eqs = [shifted(j, True) for j in range(1, window + 1)]
     anyflag = eqs[0]
     for e in eqs[1:]:
         anyflag = anyflag | e
     over = (
-        shifted_run(window + 1)
+        shifted(window + 1, False)
         if M > window + 1
         else jnp.zeros(M, dtype=bool)
     )
@@ -587,43 +597,44 @@ def graft_pairs_sorted(
     sel = jnp.minimum(cand[sel2], M - 1)
     picked = jnp.arange(cap3, dtype=jnp.int32) < n_flagged
 
-    # enumerate the cross-side window pairs of each flagged element
-    a_amp = jnp.where(picked, s_own[sel], -1)
-    a_slot = jnp.where(picked, s_slot[sel], 0)
-    a_side = s_side[sel]
-    pair_cols = []
-    for j in range(1, window + 1):
-        prev = jnp.clip(sel - j, 0, M - 1)
-        ok = picked & eqs[j - 1][sel]
-        pair_cols.append((ok, prev))
-
-    def col(ix, fn, fill):
-        return jnp.stack(
-            [jnp.where(ok, fn(prev), fill) for ok, prev in pair_cols], axis=1
-        ).reshape(-1)
-
-    okflat = jnp.stack([ok for ok, _ in pair_cols], axis=1).reshape(-1)
-    b_amp = col(0, lambda p: s_own[p], -1)
-    b_slot = col(0, lambda p: s_slot[p], 0)
-    a_amp_f = jnp.repeat(a_amp, window)
-    a_slot_f = jnp.repeat(a_slot, window)
-    a_side_f = jnp.repeat(a_side, window)
+    okflat = jnp.stack(
+        [picked & eqs[j - 1][sel] for j in range(1, window + 1)], axis=1
+    ).reshape(-1)
+    a_pos_f = jnp.repeat(sel, window)
+    b_pos_f = jnp.stack(
+        [jnp.clip(sel - j, 0, M - 1) for j in range(1, window + 1)], axis=1
+    ).reshape(-1)
 
     n_pairs = jnp.sum(okflat, dtype=jnp.int32)
     (psel,) = jnp.nonzero(okflat, size=cap, fill_value=0)
     picked2 = jnp.arange(cap, dtype=jnp.int32) < n_pairs
 
-    pa_amp = jnp.where(picked2, a_amp_f[psel], 0)
-    pa_slot = jnp.where(picked2, a_slot_f[psel], 0)
-    pa_side = a_side_f[psel]
-    pb_amp = jnp.where(picked2, b_amp[psel], 0)
-    pb_slot = jnp.where(picked2, b_slot[psel], 0)
+    def decode(positions):
+        idx = s_idx[positions]
+        is_small = idx < m_small
+        row_s = jnp.clip(idx, 0, m_small - 1) // s_slots
+        slot_s = jnp.clip(idx, 0, m_small - 1) % s_slots
+        bidx = jnp.maximum(idx - m_small, 0)
+        row_b = bidx // s_slots
+        slot_b = bidx % s_slots
+        amp = jnp.where(
+            is_small,
+            ids_small[jnp.clip(row_s, 0, ids_small.shape[0] - 1)],
+            ids_big[jnp.clip(row_b, 0, ids_big.shape[0] - 1)],
+        )
+        slot = jnp.where(is_small, slot_s, slot_b)
+        return amp, slot.astype(jnp.int32), is_small
 
-    # midpoint verification (hash equality -> materialized equality)
-    rows_a, len_a = _variant_rows(padded, lengths, pa_amp, pa_slot, W)
-    rows_b, len_b = _variant_rows(padded, lengths, pb_amp, pb_slot, W)
+    a_amp, a_slot, a_small = decode(jnp.where(picked2, a_pos_f[psel], 0))
+    b_amp, b_slot, _ = decode(jnp.where(picked2, b_pos_f[psel], 0))
+    a_amp = jnp.where(picked2, a_amp, 0)
+    b_amp = jnp.where(picked2, b_amp, 0)
+
+    rows_a, len_a = _variant_rows(padded, lengths, a_amp, a_slot, W, lcap)
+    rows_b, len_b = _variant_rows(padded, lengths, b_amp, b_slot, W, lcap)
     good = picked2 & (len_a == len_b) & jnp.all(rows_a == rows_b, axis=1)
 
-    h_amp = jnp.where(pa_side == 1, pa_amp, pb_amp)
-    l_amp = jnp.where(pa_side == 1, pb_amp, pa_amp)
+    a_is_heavy = a_small == small_is_heavy
+    h_amp = jnp.where(a_is_heavy, a_amp, b_amp)
+    l_amp = jnp.where(a_is_heavy, b_amp, a_amp)
     return h_amp, l_amp, good, n_flagged, n_pairs, overflow_run

@@ -307,12 +307,9 @@ def make_banded_scores_pallas_band(P_TILE=8, interpret=False):
         Q = go + ge
         R = ge
         k = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, BW), 1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, W), 1)
         qlens = qlens_ref[:, 0][:, None]
         tlens = tlens_ref[:, 0][:, None]
 
-        tcodes = trows_ref[:, :].astype(jnp.int32)
-        qshift = qshift_ref[:, :].astype(jnp.int32)
         q_band0 = qinit_ref[:, :].astype(jnp.int32)
 
         # row -1 boundaries in band coordinates at row 0 (i = k - B):
@@ -327,9 +324,12 @@ def make_banded_scores_pallas_band(P_TILE=8, interpret=False):
             i = row + k - B
             i_valid = (i >= 0) & (i < qlens)
 
-            t_code = jnp.sum(
-                jnp.where(cols == row, tcodes, 0), axis=1, keepdims=True
-            )
+            # per-row codes come from SMEM scalar reads (the one-hot
+            # reductions over the full row dominated the kernel: 2W
+            # lanes of work per row vs the band's 128)
+            t_code = jnp.stack(
+                [trows_ref[p, row] for p in range(P_TILE)]
+            ).astype(jnp.int32)[:, None]
             V = jnp.where(q_band == t_code, 0, mm)
 
             diag_in = jnp.where(
@@ -389,9 +389,10 @@ def make_banded_scores_pallas_band(P_TILE=8, interpret=False):
 
             # slide the query window one lane: incoming code for the
             # next row is q[row+1 + (BW-1) - B] = qshift[:, row+1]
-            incoming = jnp.sum(
-                jnp.where(cols == row + 1, qshift, 0), axis=1, keepdims=True
-            )
+            nxt = jnp.minimum(row + 1, W - 1)
+            incoming = jnp.stack(
+                [qshift_ref[p, nxt] for p in range(P_TILE)]
+            ).astype(jnp.int32)[:, None]
             q_band = jnp.concatenate([q_band[:, 1:], incoming], axis=1)
             return H, E, q_band, scores
 
@@ -434,9 +435,9 @@ def make_banded_scores_pallas_band(P_TILE=8, interpret=False):
                 pl.BlockSpec((P_TILE, BW), lambda p: (p, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((P_TILE, W), lambda p: (p, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((P_TILE, W), lambda p: (p, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((P_TILE, 1), lambda p: (p, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((P_TILE, 1), lambda p: (p, 0),
@@ -447,7 +448,9 @@ def make_banded_scores_pallas_band(P_TILE=8, interpret=False):
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(
-            qinit, qshift, trows,
+            qinit,
+            qshift.astype(jnp.int32),
+            trows.astype(jnp.int32),
             qlens.astype(jnp.int32).reshape(P, 1),
             tlens.astype(jnp.int32).reshape(P, 1),
             params,
