@@ -509,6 +509,9 @@ class GraftEngine:
         return total, graft_cand
 
 
+_SENT32 = jnp.uint32(0xFFFFFFFF)
+
+
 @partial(jax.jit, static_argnames=("chunk_rows", "lcap"))
 def variant_keys_hilo(padded, lengths, zob, ids, chunk_rows, lcap):
     """(hi [C*(8*lcap+4)], lo, sentinel_hits[1]) — invalid slots carry

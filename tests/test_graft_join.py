@@ -41,3 +41,9 @@ def test_sortjoin_matches_chunked(tmp_path):
     assert r_new.stderr == r_old.stderr
     for f in ("out.txt", "stats.txt", "structure.txt"):
         assert (d_new / f).read_bytes() == (d_old / f).read_bytes(), f
+    # the corpus must actually exercise the join (guard against a
+    # vacuous pass with an empty light side)
+    import re
+
+    m = re.search(rb"Made (\d+) grafts", r_new.stderr)
+    assert m and int(m.group(1)) > 0, r_new.stderr[-400:]
