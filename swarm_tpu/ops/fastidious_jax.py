@@ -509,6 +509,15 @@ class GraftEngine:
         return total, graft_cand
 
 
+# buffer donation is an HBM-peak optimization; on backends that cannot
+# donate (CPU tests) jax warns on stderr, which would break byte
+# parity of the log stream
+import warnings as _warnings
+
+_warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable"
+)
+
 _SENT32 = jnp.uint32(0xFFFFFFFF)
 
 
