@@ -205,9 +205,11 @@ def time_ours_warm(fasta: Path, cfg: dict, backend: str) -> tuple:
 def time_ours_cold(fasta: Path, cfg: dict, backend: str):
     """One cold-CLI run. On relay-attached TPUs a cold process reloads
     every executable through a ~30MB/s tunnel (minutes of wall for
-    seconds of CPU), so the run is capped: returns None on timeout.
-    SWARM_TPU_BENCH_COLD=0 skips cold runs entirely."""
-    if os.environ.get("SWARM_TPU_BENCH_COLD", "1") == "0":
+    seconds of CPU), so cold runs are OFF by default: the serving model
+    (warm executables via the persistent compile cache) is the metric.
+    SWARM_TPU_BENCH_COLD=1 turns them on, capped at
+    SWARM_TPU_BENCH_COLD_LIMIT seconds."""
+    if os.environ.get("SWARM_TPU_BENCH_COLD", "0") != "1":
         return None
     limit = int(os.environ.get("SWARM_TPU_BENCH_COLD_LIMIT", "600"))
     argv = build_args(cfg, "tpu") + [str(fasta)]
@@ -246,6 +248,24 @@ def check_parity(cfg: dict) -> bool:
     return ok
 
 
+def emit(results: dict) -> None:
+    """Print the current record as one JSON line. Called after EVERY
+    config so a driver timeout mid-matrix still leaves a parseable
+    record on stdout (the last line printed wins); round 2's record was
+    lost to an all-or-nothing print at the end (rc=124, parsed=null)."""
+    head = results.get(HEADLINE) or next(iter(results.values()))
+    line = {
+        "metric": "d1_cluster_amps_per_s",
+        "value": head.get("amps_per_s"),
+        "unit": "amplicons/s",
+        "vs_baseline": head.get("vs_baseline"),
+        "comparisons_per_s": head.get("comparisons_per_s"),
+        "comparisons_per_s_vs_ref": head.get("comparisons_per_s_vs_ref"),
+        "configs": results,
+    }
+    print(json.dumps(line), flush=True)
+
+
 def main() -> None:
     backend = os.environ.get("SWARM_TPU_BENCH_BACKEND", "jax")
     selected = os.environ.get("SWARM_TPU_BENCH_CONFIGS", "")
@@ -254,50 +274,54 @@ def main() -> None:
     if n_override:
         CONFIGS[HEADLINE]["n"] = int(n_override)
 
+    # headline first: it must land in the record even if the driver's
+    # budget expires on a later config
+    if HEADLINE in names:
+        names.remove(HEADLINE)
+        names.insert(0, HEADLINE)
+
     threads = os.cpu_count() or 1
     ref_bin = build_reference()
     results = {}
     for name in names:
         cfg = CONFIGS[name]
-        fasta, n_actual = corpus_for(name, cfg)
-        log(f"[{name}] corpus: {n_actual} amplicons")
-        entry = {"n": n_actual}
-        if ref_bin is not None:
-            entry["ref_s"] = round(time_reference(ref_bin, fasta, cfg, threads), 3)
-            log(f"[{name}] reference: {entry['ref_s']}s")
-        warm, comparisons = time_ours_warm(fasta, cfg, backend)
-        entry["warm_s"] = round(warm, 3)
-        entry["amps_per_s"] = round(n_actual / warm, 1)
-        if comparisons:
-            entry["comparisons_per_s"] = round(comparisons / warm, 1)
-        log(f"[{name}] swarm_tpu warm: {entry['warm_s']}s"
-            f" ({entry['amps_per_s']:.0f} amps/s)")
-        cold = time_ours_cold(fasta, cfg, backend)
-        if cold is not None:
-            entry["cold_s"] = round(cold, 3)
-            log(f"[{name}] swarm_tpu cold: {entry['cold_s']}s")
-        else:
-            entry["cold_s"] = None
-            log(f"[{name}] swarm_tpu cold: skipped/capped")
-        if ref_bin is not None:
-            entry["vs_baseline"] = round(entry["ref_s"] / warm, 3)
+        try:
+            fasta, n_actual = corpus_for(name, cfg)
+            log(f"[{name}] corpus: {n_actual} amplicons")
+            entry = {"n": n_actual}
+            if ref_bin is not None:
+                entry["ref_s"] = round(
+                    time_reference(ref_bin, fasta, cfg, threads), 3)
+                log(f"[{name}] reference: {entry['ref_s']}s")
+            warm, comparisons = time_ours_warm(fasta, cfg, backend)
+            entry["warm_s"] = round(warm, 3)
+            entry["amps_per_s"] = round(n_actual / warm, 1)
+            if comparisons:
+                entry["comparisons_per_s"] = round(comparisons / warm, 1)
+            log(f"[{name}] swarm_tpu warm: {entry['warm_s']}s"
+                f" ({entry['amps_per_s']:.0f} amps/s)")
+            cold = time_ours_cold(fasta, cfg, backend)
             if cold is not None:
-                entry["vs_baseline_cold"] = round(entry["ref_s"] / cold, 3)
-            entry["parity"] = check_parity(cfg)
-        results[name] = entry
-
-    head = results.get(HEADLINE) or next(iter(results.values()))
-    print(
-        json.dumps(
-            {
-                "metric": "d1_cluster_amps_per_s",
-                "value": head.get("amps_per_s"),
-                "unit": "amplicons/s",
-                "vs_baseline": head.get("vs_baseline"),
-                "configs": results,
-            }
-        )
-    )
+                entry["cold_s"] = round(cold, 3)
+                log(f"[{name}] swarm_tpu cold: {entry['cold_s']}s")
+            else:
+                entry["cold_s"] = None
+                log(f"[{name}] swarm_tpu cold: skipped (serving model)")
+            if ref_bin is not None:
+                entry["vs_baseline"] = round(entry["ref_s"] / warm, 3)
+                if comparisons:
+                    # north-star denominator (BASELINE.md): same candidate
+                    # workload pushed through the reference's wall clock
+                    entry["comparisons_per_s_vs_ref"] = round(
+                        (comparisons / warm) / (comparisons / entry["ref_s"]), 3)
+                if cold is not None:
+                    entry["vs_baseline_cold"] = round(entry["ref_s"] / cold, 3)
+                entry["parity"] = check_parity(cfg)
+            results[name] = entry
+        except Exception as exc:  # record the failure, keep the matrix going
+            log(f"[{name}] FAILED: {exc!r}")
+            results[name] = {"error": repr(exc)}
+        emit(results)
 
 
 if __name__ == "__main__":

@@ -30,8 +30,23 @@ def _ptr(arr: np.ndarray):
     )
 
 
+def _build_tag() -> str:
+    """Source content hash + host ISA, so a .so from another machine or
+    an edited source is never loaded (a -march=native build would SIGILL
+    on a host without the build features)."""
+    import hashlib
+    import platform
+
+    h = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    return f"{h}:{platform.machine()}:{platform.node()}"
+
+
+_TAG = _DIR / "libswarm_native.tag"
+
+
 def _build() -> bool:
-    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+    tag = _build_tag()
+    if _SO.exists() and _TAG.exists() and _TAG.read_text() == tag:
         return True
     # -march=native unlocks hardware popcnt/AVX2 for the qgram screens
     # (the build host is the run host); plain -O2 is the fallback
@@ -45,6 +60,7 @@ def _build() -> bool:
                     timeout=120,
                 )
                 if r.returncode == 0:
+                    _TAG.write_text(tag)
                     return True
             except (OSError, subprocess.TimeoutExpired):
                 continue

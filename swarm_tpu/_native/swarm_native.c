@@ -2110,14 +2110,28 @@ static int align_targets(alignctx_t *cx, int64_t seed_amp,
   const uint8_t *q = cx->arena + cx->offsets[seed_amp];
   const int64_t qlen = cx->lengths[seed_amp];
   int64_t score, alen;
-  /* direction scratch sized by this call's largest pair (lazy: a lone
-   * multi-Mnt sequence must not reserve maxlen^2 upfront) */
+  /* direction scratch sized by this call's largest pair AND the path
+   * that will actually run (lazy: a lone multi-Mnt sequence must not
+   * reserve maxlen^2 upfront, and the banded 8-bit path only needs
+   * dlen*(2*band+1) — qlen*dmax for two near-identical multi-Mnt
+   * sequences would be terabytes) */
   {
     int64_t dmax = 1;
     for (int64_t b = 0; b < B; b++)
       if (cx->lengths[ids[b]] > dmax)
         dmax = cx->lengths[ids[b]];
-    int64_t need = qlen * dmax;
+    int64_t rowlen = qlen;
+    if (cx->bit_mode == 8) {
+      const int64_t cutoff =
+          cx->d * (cx->mismatch > cx->Q ? cx->mismatch : cx->Q);
+      const int64_t band = band_for_exact(cutoff, cx->go, cx->ge);
+      const int64_t width = 2 * band + 1;
+      /* banded rows are width wide; the full-matrix fallback only runs
+       * when width >= qlen, where qlen*dmax <= width*dmax anyway */
+      if (width < rowlen)
+        rowlen = width;
+    }
+    int64_t need = rowlen * dmax;
     if (need > cx->dirs_cap) {
       uint8_t *nd = (uint8_t *)realloc(cx->dirs, (size_t)need);
       if (nd == NULL)
@@ -2196,8 +2210,6 @@ static double _now(void) {
   clock_gettime(CLOCK_MONOTONIC, &ts);
   return ts.tv_sec + 1e-9 * ts.tv_nsec;
 }
-static double t_screen, t_align, t_sub2;
-static int64_t n_aligns, n_g1;
 
 /* The full clustering loop. Returns the swarm count, or -1 on alloc
  * failure. See the Python-side wrapper for the array contracts. */
@@ -2271,6 +2283,10 @@ int64_t algo_cluster(
   int64_t largestswarm = 0, maxgenerations = 0, swarmid = 0;
   int64_t seeded = 0, swarmed = 0, struct_count = 0;
   int64_t cnt_g1 = 0, cnt_sub = 0, cnt_align = 0; /* comparison counters */
+  /* per-call timing diagnostics (locals: repeated in-process runs must
+   * not accumulate, and file-scope would not be thread-safe) */
+  double t_screen = 0, t_align = 0, t_sub2 = 0;
+  int64_t n_aligns = 0, n_g1 = 0;
 
   while (seeded < n) {
     swarmid++;

@@ -24,6 +24,9 @@ matches cannot happen (bitset has no false negatives; window overflow
 is detected on device and retried).
 """
 
+import os
+import sys
+import time
 from functools import partial
 
 import numpy as np
@@ -34,6 +37,13 @@ import jax.numpy as jnp
 from .neighbors_jax import _OTHER3_TABLE, variant_hash_halves
 
 _MIX = jnp.uint32(0x9E3779B1)  # odd multiplier: (hi ^ lo * MIX) spreads pairs
+
+
+def _t(tag, t0):
+    """SWARM_TPU_TIMING phase-wall helper shared by both graft engines."""
+    if os.environ.get("SWARM_TPU_TIMING"):
+        sys.__stderr__.write(f"[graft] {tag} {time.perf_counter()-t0:8.3f}s\n")
+    return time.perf_counter()
 
 
 def _decode_slots(slot, W, padded_rows, slot_w=None):
@@ -324,19 +334,6 @@ class GraftEngine:
             return self._graft_candidates_chunked(heavy_amps, light_amps)
         strip_rows = min(strip_rows, padded_rows(len(big)))
 
-        import time
-
-        _trace = os.environ.get("SWARM_TPU_TIMING")
-
-        def _t(tag, t0):
-            if _trace:
-                import sys as _sys
-
-                _sys.__stderr__.write(
-                    f"[graft] {tag} {time.perf_counter()-t0:8.3f}s\n"
-                )
-            return time.perf_counter()
-
         import numpy as _np
 
         def side_keys(amps, rows_total):
@@ -467,6 +464,7 @@ class GraftEngine:
         cap3 = 1 << 17
         cap = 1 << 16
         probes = 8
+        t0 = time.perf_counter()
         for start in range(0, len(chunk_amps), C):
             sel = chunk_amps[start : start + C]
             ids = np.full(C, -1, dtype=np.int32)
