@@ -110,35 +110,58 @@ def variant_hashes_device(
     return seqhash, hashes, valid
 
 
+def _zrow_select(z_rows: jnp.ndarray, pidx: jnp.ndarray) -> jnp.ndarray:
+    """g[c, p] = z_rows[p, s_cp] without a gather: 4-way masked XOR.
+
+    Gathers run at ~1 element/lane-cycle on the TPU VPU; a 4-way masked
+    accumulation is ~8 full-width vector ops — orders of magnitude
+    faster at the [C, L] sizes used here.
+    """
+    acc = jnp.where(pidx == 0, z_rows[None, :, 0], jnp.uint32(0))
+    for b in range(1, 4):
+        acc = acc ^ jnp.where(pidx == b, z_rows[None, :, b], jnp.uint32(0))
+    return acc
+
+
 def variant_hash_halves(
     padded: jnp.ndarray, lengths: jnp.ndarray, zob: jnp.ndarray
 ):
-    """((hash_hi [C, 8L+4], hash_lo), (seq_hi [C], seq_lo), valid)."""
+    """((hash_hi [C, 8L+4], hash_lo), (seq_hi [C], seq_lo), valid).
+
+    Gather-free: every Zobrist lookup is either a position-indexed row
+    broadcast (the table is position-major) or a 4-way masked select on
+    the base index. TPU gathers at these shapes are ~100x slower than
+    the equivalent masked vector ops.
+    """
     C, L = padded.shape
     pos = jnp.arange(L, dtype=jnp.int32)
     mask = pos[None, :] < lengths[:, None]  # [C, L]
     pidx = padded.astype(jnp.int32)
     zero = jnp.zeros((), dtype=jnp.uint32)
     bases = jnp.arange(4, dtype=jnp.int32)
-    other3 = _OTHER3_TABLE[pidx]  # [C, L, 3]
 
     run_start = jnp.concatenate(
         [jnp.ones((C, 1), dtype=bool), padded[:, 1:] != padded[:, :-1]],
         axis=1,
     )
+    # other3[c, p, j] = j-th base != s_cp in ascending order — computed
+    # arithmetically (j + (j >= s)) instead of a table gather
+    j3 = jnp.arange(3, dtype=jnp.int32)[None, None, :]
+    other3_idx = j3 + (j3 >= pidx[:, :, None]).astype(jnp.int32)  # [C, L, 3]
 
     hash_halves = []
     seq_halves = []
     sub_valid = dele_valid = ins_valid = ins0_valid = None
     for h in range(2):
         z = zob[..., h]  # [L+2, 4]
-        g0 = jnp.where(mask, z[pos[None, :], pidx], zero)  # Z[p, s_p]
+        zL = z[:L]  # rows p = 0..L-1
+        zL1 = z[1 : L + 1]  # rows p+1
+        zLm1 = jnp.concatenate([z[:1], z[: L - 1]])  # rows p-1 (p=0 masked)
+        g0 = jnp.where(mask, _zrow_select(zL, pidx), zero)  # Z[p, s_p]
         gm1 = jnp.where(
-            mask & (pos[None, :] >= 1),
-            z[jnp.maximum(pos - 1, 0)[None, :], pidx],
-            zero,
+            mask & (pos[None, :] >= 1), _zrow_select(zLm1, pidx), zero
         )  # Z[p-1, s_p]
-        gp1 = jnp.where(mask, z[(pos + 1)[None, :], pidx], zero)  # Z[p+1, s_p]
+        gp1 = jnp.where(mask, _zrow_select(zL1, pidx), zero)  # Z[p+1, s_p]
 
         incl = jax.lax.associative_scan(jnp.bitwise_xor, g0, axis=1)
         seqhash = incl[:, -1]  # [C]
@@ -160,9 +183,8 @@ def variant_hash_halves(
         )
 
         # substitutions: h = seqhash ^ Z[p, s_p] ^ Z[p, b] (slots 8p..8p+3)
-        zpb = jnp.where(
-            mask[:, :, None], z[pos[None, :, None], bases[None, None, :]], zero
-        )  # [C, L, 4]
+        # Z[p, b] for all b is just the position-major table row broadcast
+        zpb = jnp.where(mask[:, :, None], zL[None, :, :], zero)  # [C, L, 4]
         sub = seqhash[:, None, None] ^ g0[:, :, None] ^ zpb
 
         # deletions at p: prefix[p] ^ sufdel[p+1]; valid iff run start
@@ -170,13 +192,15 @@ def variant_hash_halves(
 
         # insertions after p (3 bases != s_p), slots 8p+5..8p+7
         prefix_incl = prefix ^ g0
-        ins_z = jnp.where(
-            mask[:, :, None],
-            z[(pos + 1)[None, :, None], bases[None, None, :]],
-            zero,
-        )  # [C, L, 4]
+        ins_z = jnp.where(mask[:, :, None], zL1[None, :, :], zero)  # [C, L, 4]
         ins_all = prefix_incl[:, :, None] ^ ins_z ^ sufins_next[:, :, None]
-        ins = jnp.take_along_axis(ins_all, other3, axis=2)  # [C, L, 3]
+        # pick the 3 bases != s_p in ascending order: one-hot select on
+        # the arithmetic other3 index (no take_along_axis gather)
+        ins = jnp.where(other3_idx == 0, ins_all[:, :, 0:1], zero)
+        for b in range(1, 4):
+            ins = ins ^ jnp.where(
+                other3_idx == b, ins_all[:, :, b : b + 1], zero
+            )
 
         block = jnp.concatenate(
             [sub, dele[:, :, None], ins], axis=2
