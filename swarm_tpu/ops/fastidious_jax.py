@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .neighbors_jax import _OTHER3_TABLE, variant_hash_halves
+from .neighbors_jax import variant_hash_halves
 
 _MIX = jnp.uint32(0x9E3779B1)  # odd multiplier: (hi ^ lo * MIX) spreads pairs
 
@@ -55,23 +55,23 @@ def _decode_slots(slot, W, padded_rows, slot_w=None):
     """
     if slot_w is None:
         slot_w = W
-    tail = slot >= 8 * slot_w
-    block = jnp.where(tail, 0, slot // 8)
-    sub_slot = jnp.where(tail, 0, slot % 8)
+    tail = slot >= 7 * slot_w
+    kind = jnp.where(tail, 0, slot // slot_w)  # 0..6
+    p = jnp.where(tail, 0, slot % slot_w)
 
     var_type = jnp.where(
-        tail, 2, jnp.where(sub_slot < 4, 0, jnp.where(sub_slot == 4, 1, 2))
+        tail, 2, jnp.where(kind < 3, 0, jnp.where(kind == 3, 1, 2))
     )
-    block_c = jnp.minimum(block, W - 1)
-    s_p = jnp.take_along_axis(padded_rows, block_c[:, None], axis=1)[:, 0]
-    ins_base = _OTHER3_TABLE[
-        s_p.astype(jnp.int32), jnp.clip(sub_slot - 5, 0, 2)
-    ]
-    pos = jnp.where(tail, 0, jnp.where(sub_slot < 5, block, block + 1))
+    p_c = jnp.minimum(p, W - 1)
+    s_p = jnp.take_along_axis(padded_rows, p_c[:, None], axis=1)[:, 0]
+    # j-th base != s_p ascending, computed arithmetically: j + (j >= s_p)
+    j = jnp.where(kind < 3, kind, jnp.clip(kind - 4, 0, 2))
+    other_base = j + (j >= s_p.astype(jnp.int32)).astype(jnp.int32)
+    pos = jnp.where(tail, 0, jnp.where(kind < 4, p, p + 1))
     base = jnp.where(
         tail,
-        slot - 8 * slot_w,
-        jnp.where(sub_slot < 4, sub_slot, jnp.where(sub_slot == 4, 0, ins_base)),
+        slot - 7 * slot_w,
+        jnp.where(kind == 3, 0, other_base),
     )
     return var_type, pos, base
 
@@ -318,7 +318,7 @@ class GraftEngine:
         # slot layout truncated to the corpus's real length cap
         lcap = int(-(-int(np.max(np.asarray(self.lengths))) // 16) * 16)
         lcap = min(lcap, self.width)
-        s_slots = 8 * lcap + 4
+        s_slots = 7 * lcap + 4
 
         def padded_rows(n_amps):
             return -(-n_amps // C) * C
@@ -415,7 +415,7 @@ class GraftEngine:
     def _graft_candidates_chunked(self, heavy_amps, light_amps):
         """The round-1 probe engine (bitset + searchsorted), retained
         as the fallback and differential oracle."""
-        keys_per_amp = 8 * self.width + 4
+        keys_per_amp = 7 * self.width + 4
         max_table = max(self.CHUNK, self.MAX_TABLE_KEYS // keys_per_amp)
         table_is_heavy = len(heavy_amps) < len(light_amps)
         table_amps = heavy_amps if table_is_heavy else light_amps
@@ -521,7 +521,7 @@ _SENT32 = jnp.uint32(0xFFFFFFFF)
 
 @partial(jax.jit, static_argnames=("chunk_rows", "lcap"))
 def variant_keys_hilo(padded, lengths, zob, ids, chunk_rows, lcap):
-    """(hi [C*(8*lcap+4)], lo, sentinel_hits[1]) — invalid slots carry
+    """(hi [C*(7*lcap+4)], lo, sentinel_hits[1]) — invalid slots carry
     the all-ones sentinel."""
     W = padded.shape[1]
     rows = padded[jnp.maximum(ids, 0)]
@@ -530,10 +530,13 @@ def variant_keys_hilo(padded, lengths, zob, ids, chunk_rows, lcap):
     C = h_hi.shape[0]
 
     def trunc(x):
+        # kind-major: drop positions >= lcap within each of the 7 kinds
         return jnp.concatenate(
             [
-                x[:, : 8 * W].reshape(C, W, 8)[:, :lcap].reshape(C, 8 * lcap),
-                x[:, 8 * W :],
+                x[:, : 7 * W].reshape(C, 7, W)[:, :, :lcap].reshape(
+                    C, 7 * lcap
+                ),
+                x[:, 7 * W :],
             ],
             axis=1,
         )

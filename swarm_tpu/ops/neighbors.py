@@ -64,18 +64,18 @@ def variant_hashes(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """All canonical 1-edit variant hashes for each sequence.
 
-    Returns (hashes [n, 7*max_len+4], valid mask, var_type, var_pos_base)
-    where var_type/pos/base are encodings used for exact verification.
-    Layout (fixed, independent of the reference's enumeration order —
-    order never affects output): for position p in [0, max_len):
-      slots [8p, 8p+4):   substitution at p with base b (b==s_p invalid)
-      slot  [8p+4]:       deletion at p (valid iff p<len and run start)
-      slots [8p+5, 8p+8): insertion at p+1 ... see below
-    plus 4 slots at the tail for insertions before position 0.
-
-    Insertion slots at position block p hold "insert base b after p"
-    for the 3 bases b != s_p; the tail block holds inserting any of the
-    4 bases before position 0.
+    Returns (seqhash [n], hashes [n, 7*max_len+4], valid mask).
+    Layout (kind-major — fixed, independent of the reference's
+    enumeration order, which never affects output; chosen so the device
+    kernel builds it from [n, L] segments with no small trailing axes,
+    which TPU tiling would pad to 128 lanes):
+      slot = k*L + p for k in [0, 7), p in [0, max_len):
+        k in [0, 3): substitution at p with the k-th base != s_p
+                     (ascending base order)          — always valid in-range
+        k == 3:      deletion at p                   — valid iff run start
+        k in [4, 7): insertion after p (new position p+1) with the
+                     (k-4)-th base != s_p            — always valid in-range
+      slot in [7L, 7L+4): insertion before position 0 with base slot-7L.
     """
     n, max_len = padded.shape
     zero = np.uint64(0)
@@ -104,47 +104,41 @@ def variant_hashes(
     sufins = np.bitwise_xor.accumulate(gp1[:, ::-1], axis=1)[:, ::-1]
     sufins = np.concatenate([sufins, np.zeros((n, 1), dtype=np.uint64)], axis=1)
 
-    bases = np.arange(4, dtype=np.uint8)
-    block = np.zeros((n, max_len, 8), dtype=np.uint64)
-    block_valid = np.zeros((n, max_len, 8), dtype=bool)
+    other3 = _three_of_four(padded)  # [n, L, 3] bases != s_p, ascending
 
-    # substitutions: h = seqhash ^ Z[p, s_p] ^ Z[p, b]  (slots 0..3)
-    sub = seqhash[:, None, None] ^ g0[:, :, None] ^ np.where(
-        mask[:, :, None], zob[pos[None, :, None], bases[None, None, :]], zero
-    )
-    block[:, :, 0:4] = sub
-    block_valid[:, :, 0:4] = mask[:, :, None] & (
-        padded[:, :, None] != bases[None, None, :]
-    )
+    segs = []
+    segs_valid = []
 
-    # deletions at p: prefix[p] ^ sufdel[p+1]; valid iff p==0 or s_p != s_{p-1}
+    # substitutions (k = 0..2): h = seqhash ^ Z[p, s_p] ^ Z[p, other3_k]
+    for k in range(3):
+        zsub = zob[pos[None, :], other3[:, :, k]]
+        segs.append(seqhash[:, None] ^ g0 ^ np.where(mask, zsub, zero))
+        segs_valid.append(mask)
+
+    # deletion at p (k = 3): prefix[p] ^ sufdel[p+1]; valid iff run start
     dele = prefix ^ sufdel[:, 1:]
     run_start = np.ones((n, max_len), dtype=bool)
     if max_len > 1:
         run_start[:, 1:] = padded[:, 1:] != padded[:, :-1]
-    block[:, :, 4] = dele
-    block_valid[:, :, 4] = mask & run_start
+    segs.append(dele)
+    segs_valid.append(mask & run_start)
 
-    # insertions after position p (at new position p+1), base b != s_p
-    prefix_incl = prefix ^ g0  # inclusive prefix
-    ins_zvals = zob[(pos + 1)[None, :, None], bases[None, None, :]]
-    ins = (
-        prefix_incl[:, :, None]
-        ^ np.where(mask[:, :, None], ins_zvals, zero)
-        ^ sufins[:, 1:][:, :, None]
-    )
-    other3 = _three_of_four(padded)
-    block[:, :, 5:8] = np.take_along_axis(ins, other3, axis=2)
-    block_valid[:, :, 5:8] = mask[:, :, None]
+    # insertions after p (k = 4..6): incl_prefix[p] ^ Z[p+1, b] ^ sufins[p+1]
+    prefix_incl = prefix ^ g0
+    for k in range(3):
+        zins = zob[(pos + 1)[None, :], other3[:, :, k]]
+        segs.append(
+            prefix_incl ^ np.where(mask, zins, zero) ^ sufins[:, 1:]
+        )
+        segs_valid.append(mask)
 
     # insertions before position 0, any base (4 tail slots)
+    bases = np.arange(4, dtype=np.uint8)
     ins0 = zob[0, bases][None, :] ^ sufins[:, 0:1]
     ins0_valid = np.broadcast_to((lengths[:, None] > 0), (n, 4))
 
-    hashes = np.concatenate([block.reshape(n, 8 * max_len), ins0], axis=1)
-    valid = np.concatenate(
-        [block_valid.reshape(n, 8 * max_len), ins0_valid], axis=1
-    )
+    hashes = np.concatenate(segs + [ins0], axis=1)
+    valid = np.concatenate(segs_valid + [ins0_valid], axis=1)
     return seqhash, hashes, valid
 
 
@@ -158,30 +152,28 @@ def _three_of_four(padded: np.ndarray) -> np.ndarray:
 
 
 def decode_slot(slot: np.ndarray, max_len: int, padded: np.ndarray, amp: np.ndarray):
-    """Decode variant slot ids into (type, pos, base).
+    """Decode kind-major variant slot ids into (type, pos, base).
 
     type: 0=substitution, 1=deletion, 2=insertion
     For insertion, pos is the insertion position in the *new* sequence.
     """
-    tail = slot >= 8 * max_len
-    block = np.where(tail, 0, slot // 8)
-    sub_slot = np.where(tail, 0, slot % 8)
+    tail = slot >= 7 * max_len
+    kind = np.where(tail, 0, slot // max_len)  # 0..6
+    p = np.where(tail, 0, slot % max_len)
 
     var_type = np.where(
-        tail, 2, np.where(sub_slot < 4, 0, np.where(sub_slot == 4, 1, 2))
+        tail, 2, np.where(kind < 3, 0, np.where(kind == 3, 1, 2))
     )
-    # substitution: pos=block, base=sub_slot
-    # deletion: pos=block
-    # insertion (block): pos=block+1, base=3-of-4 table
-    s_p = padded[amp, np.minimum(block, max_len - 1)]
+    s_p = padded[amp, p]
     table = np.array([[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]], dtype=np.int64)
-    ins_base = table[s_p, np.clip(sub_slot - 5, 0, 2)]
+    j = np.where(kind < 3, kind, np.clip(kind - 4, 0, 2))
+    other_base = table[s_p, j]
 
-    pos = np.where(tail, 0, np.where(sub_slot < 5, block, block + 1))
+    pos = np.where(tail, 0, np.where(kind < 4, p, p + 1))
     base = np.where(
         tail,
-        slot - 8 * max_len,
-        np.where(sub_slot < 4, sub_slot, np.where(sub_slot == 4, 0, ins_base)),
+        slot - 7 * max_len,
+        np.where(kind == 3, 0, other_base),
     )
     return var_type, pos, base
 
@@ -295,7 +287,7 @@ class NeighborIndex:
         if self.backend in ("numpy", "jax", "jax_probe", "jax_shard"):
             return self.backend
         n = len(self.lengths)
-        work = n * (8 * self.max_len + 4)
+        work = n * (7 * self.max_len + 4)
         if work >= self.AUTO_DEVICE_THRESHOLD:
             try:
                 import jax  # noqa: F401

@@ -22,7 +22,7 @@ Here the same mathematics runs on device as dense batched array ops:
 
 Amplicons are processed in fixed-size chunks so shapes stay static and
 HBM usage is bounded: a chunk of C amplicons of padded length L
-materializes [C, 8L+4, 2] uint32 hashes (~105 MB at C=4096, L=400).
+materializes [C, 7L+4, 2] uint32 hashes (~92 MB at C=4096, L=400).
 
 Exact verification of the compacted candidates (collision rejection)
 runs on host over the few survivors; the edge list it yields is
@@ -93,7 +93,7 @@ def variant_hashes_device(
     """All canonical 1-edit variant hashes for a chunk of sequences.
 
     padded: [C, L] uint8 codes; lengths: [C] int32; zob: [L+2, 4, 2] u32.
-    Returns (seqhash [C, 2], hashes [C, 8L+4, 2], valid [C, 8L+4]).
+    Returns (seqhash [C, 2], hashes [C, 7L+4, 2], valid [C, 7L+4]).
     Slot layout is identical to swarm_tpu.ops.neighbors.variant_hashes
     so the host-side decode/verify machinery is shared.
 
@@ -126,7 +126,15 @@ def _zrow_select(z_rows: jnp.ndarray, pidx: jnp.ndarray) -> jnp.ndarray:
 def variant_hash_halves(
     padded: jnp.ndarray, lengths: jnp.ndarray, zob: jnp.ndarray
 ):
-    """((hash_hi [C, 8L+4], hash_lo), (seq_hi [C], seq_lo), valid).
+    """((hash_hi [C, 7L+4], hash_lo), (seq_hi [C], seq_lo), valid).
+
+    Kind-major slot layout (identical to the numpy oracle in
+    ops/neighbors.py:variant_hashes): slot k*L+p for kinds
+    k = 0..2 substitution / 3 deletion / 4..6 insertion, tail slots
+    7L..7L+3 for insertions before position 0. Every intermediate is a
+    [C, L] array — no small trailing axes, which TPU tiling would pad
+    to full 128-wide lanes (an 8-32x HBM blowup in the previous
+    [C, L, 8]-block formulation).
 
     Gather-free: every Zobrist lookup is either a position-indexed row
     broadcast (the table is position-major) or a 4-way masked select on
@@ -144,14 +152,9 @@ def variant_hash_halves(
         [jnp.ones((C, 1), dtype=bool), padded[:, 1:] != padded[:, :-1]],
         axis=1,
     )
-    # other3[c, p, j] = j-th base != s_cp in ascending order — computed
-    # arithmetically (j + (j >= s)) instead of a table gather
-    j3 = jnp.arange(3, dtype=jnp.int32)[None, None, :]
-    other3_idx = j3 + (j3 >= pidx[:, :, None]).astype(jnp.int32)  # [C, L, 3]
 
     hash_halves = []
     seq_halves = []
-    sub_valid = dele_valid = ins_valid = ins0_valid = None
     for h in range(2):
         z = zob[..., h]  # [L+2, 4]
         zL = z[:L]  # rows p = 0..L-1
@@ -182,58 +185,38 @@ def variant_hash_halves(
             [sufins[:, 1:], jnp.zeros_like(sufins[:, :1])], axis=1
         )
 
-        # substitutions: h = seqhash ^ Z[p, s_p] ^ Z[p, b] (slots 8p..8p+3)
-        # Z[p, b] for all b is just the position-major table row broadcast
-        zpb = jnp.where(mask[:, :, None], zL[None, :, :], zero)  # [C, L, 4]
-        sub = seqhash[:, None, None] ^ g0[:, :, None] ^ zpb
+        segs = []
+        # substitutions (k = 0..2): seqhash ^ Z[p, s_p] ^ Z[p, o_k]
+        # where o_k = k-th base != s_p ascending = k + (k >= s_p)
+        base_part = seqhash[:, None] ^ g0
+        for k in range(3):
+            o_k = k + (pidx <= k).astype(jnp.int32)  # [C, L]
+            zsub = jnp.where(mask, _zrow_select(zL, o_k), zero)
+            segs.append(base_part ^ zsub)
 
-        # deletions at p: prefix[p] ^ sufdel[p+1]; valid iff run start
-        dele = prefix ^ sufdel_next  # [C, L]
+        # deletion at p (k = 3): prefix[p] ^ sufdel[p+1]
+        segs.append(prefix ^ sufdel_next)
 
-        # insertions after p (3 bases != s_p), slots 8p+5..8p+7
-        prefix_incl = prefix ^ g0
-        ins_z = jnp.where(mask[:, :, None], zL1[None, :, :], zero)  # [C, L, 4]
-        ins_all = prefix_incl[:, :, None] ^ ins_z ^ sufins_next[:, :, None]
-        # pick the 3 bases != s_p in ascending order: one-hot select on
-        # the arithmetic other3 index (no take_along_axis gather)
-        ins = jnp.where(other3_idx == 0, ins_all[:, :, 0:1], zero)
-        for b in range(1, 4):
-            ins = ins ^ jnp.where(
-                other3_idx == b, ins_all[:, :, b : b + 1], zero
-            )
-
-        block = jnp.concatenate(
-            [sub, dele[:, :, None], ins], axis=2
-        )  # [C, L, 8]
+        # insertions after p (k = 4..6):
+        # incl_prefix[p] ^ Z[p+1, o_k] ^ sufins[p+1]
+        ins_part = prefix ^ g0 ^ sufins_next
+        for k in range(3):
+            o_k = k + (pidx <= k).astype(jnp.int32)
+            zins = jnp.where(mask, _zrow_select(zL1, o_k), zero)
+            segs.append(ins_part ^ zins)
 
         # insertions before position 0, any base (4 tail slots)
         ins0 = z[0, bases][None, :] ^ sufins[:, 0:1]  # [C, 4]
 
-        hash_halves.append(
-            jnp.concatenate([block.reshape(C, 8 * L), ins0], axis=1)
-        )
+        hash_halves.append(jnp.concatenate(segs + [ins0], axis=1))
         seq_halves.append(seqhash)
 
-        if h == 0:
-            sub_valid = mask[:, :, None] & (
-                pidx[:, :, None] != bases[None, None, :]
-            )
-            dele_valid = mask & run_start
-            ins_valid = jnp.broadcast_to(mask[:, :, None], (C, L, 3))
-            ins0_valid = jnp.broadcast_to(lengths[:, None] > 0, (C, 4))
-
-    block_valid = jnp.concatenate(
-        [sub_valid, dele_valid[:, :, None], ins_valid], axis=2
-    )
     valid = jnp.concatenate(
-        [block_valid.reshape(C, 8 * L), ins0_valid], axis=1
+        [mask, mask, mask, mask & run_start, mask, mask, mask,
+         jnp.broadcast_to(lengths[:, None] > 0, (C, 4))],
+        axis=1,
     )
     return tuple(hash_halves), tuple(seq_halves), valid
-
-
-_OTHER3_TABLE = jnp.array(
-    [[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]], dtype=np.int32
-)
 
 
 def candidates_body(
@@ -442,7 +425,7 @@ class DeviceNeighborEngine:
                 if cnt <= cap:
                     break
                 cap *= 2
-            n_probe_work += (stop - start) * (8 * self.width + 4)
+            n_probe_work += (stop - start) * (7 * self.width + 4)
             if cnt:
                 # arrays may be larger than cap (sharded engine returns
                 # n_dev * cap_local entries); filler rows are -1
