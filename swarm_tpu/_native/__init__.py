@@ -55,7 +55,8 @@ def _build() -> bool:
         for cc in ("cc", "gcc", "clang"):
             try:
                 r = subprocess.run(
-                    [cc, *flags, "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
+                    [cc, *flags, "-pthread", "-shared", "-fPIC", str(_SRC),
+                     "-o", str(_SO)],
                     capture_output=True,
                     timeout=120,
                 )
@@ -726,3 +727,106 @@ def d1_network(codes, offsets, lengths, abundances, no_break):
         if cnt < 0:
             raise MemoryError("d1_network_native")
         return ef[:cnt], et[:cnt]
+
+
+def d2_diffs_pairs(codes, offsets, lengths, abundances, pa, pb, d,
+                   mismatch, gapopen, gapextend, no_break, nthreads=0):
+    """Exact directed diffs for candidate pairs (swarm_native.c:
+    d2_diffs_pairs): banded ideal-mode DP (8-bit / search8 semantics,
+    reference src/search8.cc:629-903) with early row-minimum rejection.
+    Returns (diff_ab, diff_ba): diff for query pa[i] -> target pb[i]
+    when the abundance rule admits that direction and the accepted
+    diff <= d, else -1."""
+    P = len(pa)
+    diff_ab = np.empty(max(P, 1), dtype=np.int64)
+    diff_ba = np.empty(max(P, 1), dtype=np.int64)
+    if P == 0:
+        return diff_ab[:0], diff_ba[:0]
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    pa = np.ascontiguousarray(pa, dtype=np.int64)
+    pb = np.ascontiguousarray(pb, dtype=np.int64)
+    lib.d2_diffs_pairs.restype = ctypes.c_int64
+    rc = lib.d2_diffs_pairs(
+        _ptr(np.ascontiguousarray(codes, dtype=np.uint8)),
+        _ptr(np.ascontiguousarray(offsets, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(lengths, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(abundances, dtype=np.int64)),
+        _ptr(pa), _ptr(pb), ctypes.c_int64(P),
+        ctypes.c_int64(d), ctypes.c_int64(mismatch),
+        ctypes.c_int64(gapopen), ctypes.c_int64(gapextend),
+        ctypes.c_int(1 if no_break else 0), ctypes.c_int64(nthreads),
+        _ptr(diff_ab), _ptr(diff_ba),
+    )
+    if rc < 0:
+        raise MemoryError("d2_diffs_pairs")
+    return diff_ab, diff_ba
+
+
+def algo_cluster_graph(adj_start, adj_count, adj_to, adj_diff, abundances,
+                       want_structure):
+    """Graph-driven d>=2 clustering (swarm_native.c: algo_cluster_graph):
+    identical outputs to algo_cluster, with candidate discovery from a
+    precomputed directed adjacency (CSR, target ids ascending, per-edge
+    accepted diff)."""
+    n = len(adj_start)
+    order = np.arange(n, dtype=np.int64)
+    pos_of = np.arange(n, dtype=np.int64)
+    swarmid_arr = np.zeros(n, dtype=np.int64)
+    gen_arr = np.zeros(n, dtype=np.int64)
+    rad_arr = np.zeros(n, dtype=np.int64)
+    cap = max(n, 1)
+    swarm_seed = np.empty(cap, dtype=np.int64)
+    swarm_size = np.empty(cap, dtype=np.int64)
+    swarm_copies = np.empty(cap, dtype=np.int64)
+    swarm_singletons = np.empty(cap, dtype=np.int64)
+    swarm_maxgen = np.empty(cap, dtype=np.int64)
+    swarm_maxrad = np.empty(cap, dtype=np.int64)
+    swarm_bound = np.empty(cap, dtype=np.int64)
+    struct_parent = np.empty(cap, dtype=np.int64)
+    struct_child = np.empty(cap, dtype=np.int64)
+    struct_diff = np.empty(cap, dtype=np.int64)
+    struct_gen = np.empty(cap, dtype=np.int64)
+    summary = np.zeros(6, dtype=np.int64)
+    lib.algo_cluster_graph.restype = ctypes.c_int64
+    swarmcount = lib.algo_cluster_graph(
+        _ptr(np.ascontiguousarray(adj_start, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(adj_count, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(adj_to, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(adj_diff, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(abundances, dtype=np.int64)),
+        ctypes.c_int64(n),
+        ctypes.c_int(1 if want_structure else 0),
+        _ptr(order), _ptr(pos_of), _ptr(swarmid_arr), _ptr(gen_arr),
+        _ptr(rad_arr),
+        _ptr(swarm_seed), _ptr(swarm_size), _ptr(swarm_copies),
+        _ptr(swarm_singletons), _ptr(swarm_maxgen), _ptr(swarm_maxrad),
+        _ptr(swarm_bound),
+        _ptr(struct_parent), _ptr(struct_child), _ptr(struct_diff),
+        _ptr(struct_gen), _ptr(summary),
+    )
+    if swarmcount < 0:
+        raise MemoryError("algo_cluster_graph")
+    sc = int(swarmcount)
+    nstruct = int(summary[2])
+    return {
+        "order": order, "swarmid": swarmid_arr, "gen": gen_arr,
+        "rad": rad_arr,
+        "swarm_seed": swarm_seed[:sc], "swarm_size": swarm_size[:sc],
+        "swarm_copies": swarm_copies[:sc],
+        "swarm_singletons": swarm_singletons[:sc],
+        "swarm_maxgen": swarm_maxgen[:sc],
+        "swarm_maxrad": swarm_maxrad[:sc],
+        "swarm_bound": swarm_bound[:sc],
+        "struct_parent": struct_parent[:nstruct],
+        "struct_child": struct_child[:nstruct],
+        "struct_diff": struct_diff[:nstruct],
+        "struct_gen": struct_gen[:nstruct],
+        "largest": int(summary[0]), "maxgen": int(summary[1]),
+        "swarmcount": sc,
+        "comparisons": {
+            "gen1_screen": int(summary[3]),
+            "subseed_scan": int(summary[4]),
+            "alignments": int(summary[5]),
+        },
+    }

@@ -2818,3 +2818,410 @@ int cmp_u64(const void *x, const void *y) {
   uint64_t a = *(const uint64_t *)x, b = *(const uint64_t *)y;
   return a < b ? -1 : a > b ? 1 : 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* d>=2 network engine (device qgram join + host exact diffs + graph   */
+/* clustering)                                                         */
+/* ------------------------------------------------------------------ */
+
+/* The TPU-first d>=2 formulation splits the reference's per-seed loop
+ * (src/algo.cc:329-708) into (a) a bulk candidate-pair screen on the
+ * MXU (ops/d2_network.py: all-pairs qgram Hamming distance as an int8
+ * matmul), (b) exact per-pair diffs here, and (c) a graph-driven
+ * replay of the clustering loop (algo_cluster_graph) whose attachment
+ * ordering is identical to algo_cluster's because pool elements always
+ * remain in ascending-amplicon-id order (the initial order is the
+ * identity and rotations preserve relative pool order), so iterating a
+ * subseed's id-sorted adjacency equals scanning the pool by position. */
+
+#include <pthread.h>
+
+typedef struct {
+  const uint8_t *arena;
+  const int64_t *offsets;
+  const int64_t *lengths;
+  const int64_t *abundances;
+  const int64_t *pa;
+  const int64_t *pb;
+  int64_t P;
+  int64_t d, mismatch, go, ge;
+  int no_break;
+  int64_t band;
+  int64_t dlen_max;
+  int64_t *diff_ab;
+  int64_t *diff_ba;
+  int64_t lo, hi; /* pair range for this worker */
+  int fail;
+} d2pairs_job_t;
+
+/* One directed exact diff (query q -> target t), banded ideal-mode DP
+ * with an early reject: row minima of the cost DP are non-decreasing
+ * (every extension adds nonnegative cost), so once the running row
+ * minimum exceeds cutoff the backtracked path's diff must exceed d
+ * (a path with diff <= d costs <= cutoff = d*max(mm, go+ge)). */
+static int64_t d2_pair_diff_one(const uint8_t *qseq, int64_t qlen,
+                                const uint8_t *dseq, int64_t dlen,
+                                int64_t mismatch, int64_t go, int64_t ge,
+                                int64_t d, int64_t B, uint8_t *dirs,
+                                int64_t *Hbuf, int64_t *Ebuf) {
+  int64_t cutoff = d * (mismatch > go + ge ? mismatch : go + ge);
+  if (qlen - dlen > B || dlen - qlen > B)
+    return -1;
+  const int64_t width = 2 * B + 1;
+  const int64_t Q = go + ge, R = ge;
+  for (int64_t k = 0; k < width; k++) {
+    int64_t im1 = k - B - 1;
+    Hbuf[k] = im1 >= 0 && im1 < qlen ? Q + im1 * R : BAND_INF;
+    Ebuf[k] = im1 >= 0 && im1 < qlen ? 2 * Q + im1 * R : BAND_INF;
+  }
+  int64_t score = BAND_INF;
+  for (int64_t row = 0; row < dlen; row++) {
+    uint8_t *dirrow = dirs + row * width;
+    int64_t F = BAND_INF;
+    int64_t rowmin = BAND_INF;
+    for (int64_t k = 0; k < width; k++) {
+      const int64_t i = row + k - B;
+      if (i < 0)
+        continue;
+      if (i >= qlen) {
+        Hbuf[k] = BAND_INF;
+        Ebuf[k] = BAND_INF;
+        continue;
+      }
+      int64_t diag_in;
+      if (i == 0) {
+        diag_in = row == 0 ? 0 : go + row * ge;
+        F = 2 * go + (row + 2) * ge;
+      } else {
+        diag_in = Hbuf[k];
+      }
+      const int64_t diag =
+          (diag_in >= BAND_INF ? BAND_INF
+                               : diag_in + (dseq[row] == qseq[i] ? 0 : mismatch));
+      const int64_t E_in = k + 1 < width ? Ebuf[k + 1] : BAND_INF;
+      int64_t pre = diag < E_in ? diag : E_in;
+      int64_t Hnew = pre < F ? pre : F;
+      uint8_t bits = 0;
+      if (diag <= F)
+        bits |= 1;
+      {
+        int64_t m = diag < F ? diag : F;
+        if (E_in <= m)
+          bits |= 2;
+      }
+      int64_t hq = Hnew + Q;
+      if (hq <= F + R)
+        bits |= 4;
+      if (hq <= E_in + R)
+        bits |= 8;
+      dirrow[k] = bits;
+      Hbuf[k] = Hnew;
+      int64_t Enew = hq < E_in + R ? hq : E_in + R;
+      Ebuf[k] = Enew > BAND_INF ? BAND_INF : Enew;
+      int64_t openF = pre + Q;
+      F = F + R < openF ? F + R : openF;
+      if (F > BAND_INF)
+        F = BAND_INF;
+      if (Hnew < rowmin)
+        rowmin = Hnew;
+      if (row == dlen - 1 && i == qlen - 1)
+        score = Hnew;
+    }
+    if (rowmin > cutoff)
+      return -1; /* reject: no acceptable pair can cost this much */
+  }
+  if (score > cutoff)
+    return -1;
+  /* backtrack (same priorities as nw_pair_ideal_banded) */
+  int64_t column = qlen - 1, row = dlen - 1;
+  int64_t aligned = 0, matches = 0;
+  int op = 0;
+  while (column >= 0 && row >= 0) {
+    aligned++;
+    int64_t slot = column - row + B;
+    uint8_t cell = slot >= 0 && slot < width ? dirs[row * width + slot] : 0;
+    if (op == 1 && !(cell & 8))
+      row--;
+    else if (op == 2 && !(cell & 4))
+      column--;
+    else if (cell & 2) {
+      row--;
+      op = 1;
+    } else if (!(cell & 1)) {
+      column--;
+      op = 2;
+    } else {
+      if (qseq[column] == dseq[row])
+        matches++;
+      column--;
+      row--;
+      op = 3;
+    }
+  }
+  aligned += column + 1 + row + 1;
+  int64_t diff = aligned - matches;
+  return diff <= d ? diff : -1;
+}
+
+static void *d2_pairs_worker(void *argp) {
+  d2pairs_job_t *j = (d2pairs_job_t *)argp;
+  const int64_t width = 2 * j->band + 1;
+  uint8_t *dirs = (uint8_t *)malloc((size_t)(j->dlen_max * width));
+  int64_t *Hbuf = (int64_t *)malloc((size_t)width * 8);
+  int64_t *Ebuf = (int64_t *)malloc((size_t)width * 8);
+  if (dirs == NULL || Hbuf == NULL || Ebuf == NULL) {
+    free(dirs);
+    free(Hbuf);
+    free(Ebuf);
+    j->fail = 1;
+    return NULL;
+  }
+  for (int64_t i = j->lo; i < j->hi; i++) {
+    int64_t a = j->pa[i], b = j->pb[i];
+    int64_t la = j->lengths[a], lb = j->lengths[b];
+    const uint8_t *sa = j->arena + j->offsets[a];
+    const uint8_t *sb = j->arena + j->offsets[b];
+    int need_ab = j->no_break || j->abundances[a] >= j->abundances[b];
+    int need_ba = j->no_break || j->abundances[b] >= j->abundances[a];
+    j->diff_ab[i] =
+        need_ab ? d2_pair_diff_one(sa, la, sb, lb, j->mismatch, j->go,
+                                   j->ge, j->d, j->band, dirs, Hbuf, Ebuf)
+                : -1;
+    j->diff_ba[i] =
+        need_ba ? d2_pair_diff_one(sb, lb, sa, la, j->mismatch, j->go,
+                                   j->ge, j->d, j->band, dirs, Hbuf, Ebuf)
+                : -1;
+  }
+  free(dirs);
+  free(Hbuf);
+  free(Ebuf);
+  return NULL;
+}
+
+/* Exact diffs for both needed directions of each candidate pair.
+ * diff_ab[i] = diffs for query pa[i] vs target pb[i] when the
+ * abundance rule admits that direction and diff <= d, else -1 (and
+ * symmetrically diff_ba). Deterministic: output position i depends
+ * only on pair i. Returns 0, or -1 on allocation failure. */
+int64_t d2_diffs_pairs(const uint8_t *arena, const int64_t *offsets,
+                       const int64_t *lengths, const int64_t *abundances,
+                       const int64_t *pa, const int64_t *pb, int64_t P,
+                       int64_t d, int64_t mismatch, int64_t go, int64_t ge,
+                       int no_break, int64_t nthreads, int64_t *diff_ab,
+                       int64_t *diff_ba) {
+  if (P == 0)
+    return 0;
+  int64_t cutoff = d * (mismatch > go + ge ? mismatch : go + ge);
+  int64_t band = band_for_exact(cutoff, go, ge);
+  int64_t dlen_max = 1;
+  for (int64_t i = 0; i < P; i++) {
+    if (lengths[pa[i]] > dlen_max)
+      dlen_max = lengths[pa[i]];
+    if (lengths[pb[i]] > dlen_max)
+      dlen_max = lengths[pb[i]];
+  }
+  if (nthreads < 1)
+    nthreads = 1;
+  if (nthreads > P)
+    nthreads = P;
+  if (nthreads > 64)
+    nthreads = 64;
+  d2pairs_job_t jobs[64];
+  pthread_t tids[64];
+  int joinable[64] = {0};
+  int64_t chunk = (P + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; t++) {
+    d2pairs_job_t *j = &jobs[t];
+    j->arena = arena;
+    j->offsets = offsets;
+    j->lengths = lengths;
+    j->abundances = abundances;
+    j->pa = pa;
+    j->pb = pb;
+    j->P = P;
+    j->d = d;
+    j->mismatch = mismatch;
+    j->go = go;
+    j->ge = ge;
+    j->no_break = no_break;
+    j->band = band;
+    j->dlen_max = dlen_max;
+    j->diff_ab = diff_ab;
+    j->diff_ba = diff_ba;
+    j->lo = t * chunk;
+    j->hi = (t + 1) * chunk < P ? (t + 1) * chunk : P;
+    j->fail = 0;
+    if (j->lo >= j->hi)
+      continue;
+    /* the last chunk runs inline; a failed spawn also runs inline */
+    if (t < nthreads - 1 && pthread_create(&tids[t], NULL, d2_pairs_worker,
+                                           j) == 0)
+      joinable[t] = 1;
+    else
+      d2_pairs_worker(j);
+  }
+  for (int64_t t = 0; t < nthreads; t++)
+    if (joinable[t])
+      pthread_join(tids[t], NULL);
+  for (int64_t t = 0; t < nthreads; t++)
+    if (jobs[t].fail)
+      return -1;
+  return 0;
+}
+
+/* Graph-driven replay of algo_cluster: identical outputs, but
+ * candidate discovery reads a precomputed directed adjacency (CSR,
+ * targets ascending) instead of running qgram screens + alignments.
+ * adj edges carry the exact accepted diff (<= d) for that direction.
+ * pos_of must enter as the inverse of order (the identity). */
+int64_t algo_cluster_graph(
+    const int64_t *adj_start, const int64_t *adj_count, const int64_t *adj_to,
+    const int64_t *adj_diff, const int64_t *abundances, int64_t n,
+    int want_structure, int64_t *order, int64_t *pos_of,
+    int64_t *swarmid_arr, int64_t *gen_arr, int64_t *rad_arr,
+    int64_t *swarm_seed, int64_t *swarm_size, int64_t *swarm_copies,
+    int64_t *swarm_singletons, int64_t *swarm_maxgen, int64_t *swarm_maxrad,
+    int64_t *swarm_bound, int64_t *struct_parent, int64_t *struct_child,
+    int64_t *struct_diff, int64_t *struct_gen, int64_t *summary_out) {
+  int64_t largestswarm = 0, maxgenerations = 0, swarmid = 0;
+  int64_t seeded = 0, swarmed = 0, struct_count = 0;
+
+#define GRAPH_ROTATE(arrname)                                                 \
+  do {                                                                        \
+    int64_t tmpv = arrname[target];                                           \
+    memmove(arrname + pos + 1, arrname + pos,                                 \
+            (size_t)(target - pos) * sizeof(int64_t));                        \
+    arrname[pos] = tmpv;                                                      \
+  } while (0)
+
+  while (seeded < n) {
+    swarmid++;
+    int64_t swarmsize = 1, copies = 0, singletons = 0;
+    int64_t maxradius = 0, maxgen = 1;
+
+    int64_t seedindex = seeded;
+    seeded++;
+    swarmid_arr[seedindex] = swarmid;
+    int64_t seedampliconid = order[seedindex];
+    int64_t abundance = abundances[seedampliconid];
+    copies += abundance;
+    if (abundance == 1)
+      singletons++;
+    swarmed++;
+
+    /* gen-1: the seed's adjacency, ascending target id == ascending
+     * pool position (src/algo.cc:423-432 scans pool positions) */
+    {
+      int64_t s = adj_start[seedampliconid];
+      int64_t e = s + adj_count[seedampliconid];
+      for (int64_t k = s; k < e; k++) {
+        int64_t v = adj_to[k];
+        int64_t target = pos_of[v];
+        if (target < swarmed)
+          continue; /* already swarmed (or the seed itself) */
+        int64_t diff = adj_diff[k];
+        if (target > swarmed) {
+          int64_t pos = swarmed;
+          GRAPH_ROTATE(order);
+          GRAPH_ROTATE(swarmid_arr);
+          GRAPH_ROTATE(gen_arr);
+          GRAPH_ROTATE(rad_arr);
+          for (int64_t q = pos; q <= target; q++)
+            pos_of[order[q]] = q;
+        }
+        swarmid_arr[swarmed] = swarmid;
+        gen_arr[swarmed] = 1;
+        rad_arr[swarmed] = diff;
+        if (diff > maxradius)
+          maxradius = diff;
+        int64_t poolampliconid = order[swarmed];
+        if (want_structure) {
+          struct_parent[struct_count] = seedampliconid;
+          struct_child[struct_count] = poolampliconid;
+          struct_diff[struct_count] = diff;
+          struct_gen[struct_count] = 1;
+          struct_count++;
+        }
+        int64_t ab = abundances[poolampliconid];
+        copies += ab;
+        if (ab == 1)
+          singletons++;
+        swarmsize++;
+        swarmed++;
+      }
+
+      while (seeded < swarmed) {
+        int64_t subseed_pos = seeded;
+        int64_t subseed_amp = order[subseed_pos];
+        int64_t subseed_radius = rad_arr[subseed_pos];
+        int64_t subseed_generation = gen_arr[subseed_pos];
+        seeded++;
+
+        int64_t s2 = adj_start[subseed_amp];
+        int64_t e2 = s2 + adj_count[subseed_amp];
+        for (int64_t k = s2; k < e2; k++) {
+          int64_t v = adj_to[k];
+          int64_t target = pos_of[v];
+          if (target < swarmed)
+            continue;
+          int64_t diff = adj_diff[k];
+          int64_t targetampliconid = v;
+          int64_t pos = swarmed;
+          while (pos > seeded && order[pos - 1] > targetampliconid &&
+                 gen_arr[pos - 1] > subseed_generation)
+            pos--;
+          if (target > pos) {
+            GRAPH_ROTATE(order);
+            GRAPH_ROTATE(swarmid_arr);
+            GRAPH_ROTATE(gen_arr);
+            GRAPH_ROTATE(rad_arr);
+            for (int64_t q = pos; q <= target; q++)
+              pos_of[order[q]] = q;
+          }
+          swarmid_arr[pos] = swarmid;
+          gen_arr[pos] = subseed_generation + 1;
+          if (subseed_generation + 1 > maxgen)
+            maxgen = subseed_generation + 1;
+          rad_arr[pos] = subseed_radius + diff;
+          if (subseed_radius + diff > maxradius)
+            maxradius = subseed_radius + diff;
+          int64_t poolampliconid = order[pos];
+          if (want_structure) {
+            struct_parent[struct_count] = subseed_amp;
+            struct_child[struct_count] = poolampliconid;
+            struct_diff[struct_count] = diff;
+            struct_gen[struct_count] = subseed_generation + 1;
+            struct_count++;
+          }
+          int64_t ab = abundances[poolampliconid];
+          copies += ab;
+          if (ab == 1)
+            singletons++;
+          swarmsize++;
+          swarmed++;
+        }
+      }
+    }
+
+    if (swarmsize > largestswarm)
+      largestswarm = swarmsize;
+    if (maxgen > maxgenerations)
+      maxgenerations = maxgen;
+    swarm_seed[swarmid - 1] = seedampliconid;
+    swarm_size[swarmid - 1] = swarmsize;
+    swarm_copies[swarmid - 1] = copies;
+    swarm_singletons[swarmid - 1] = singletons;
+    swarm_maxgen[swarmid - 1] = maxgen;
+    swarm_maxrad[swarmid - 1] = maxradius;
+    swarm_bound[swarmid - 1] = seeded;
+  }
+#undef GRAPH_ROTATE
+
+  summary_out[0] = largestswarm;
+  summary_out[1] = maxgenerations;
+  summary_out[2] = struct_count;
+  summary_out[3] = 0;
+  summary_out[4] = 0;
+  summary_out[5] = 0;
+  return swarmid;
+}

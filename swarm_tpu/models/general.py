@@ -34,12 +34,46 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
     from .. import _native
 
     backend = os.environ.get("SWARM_TPU_BACKEND", "auto")
-    # the native engine wins on every measured corpus; the Python loop
+    # engine selection: "network" = bulk MXU qgram join + native exact
+    # diffs + graph-driven clustering replay (the TPU-first path, auto
+    # above 32k amplicons on a real accelerator in the 8-bit regime);
+    # "native" = the all-host C seed/subseed loop; the Python loop
     # (with optional device screens) stays as the oracle and as the
     # explicit SWARM_TPU_D2_ENGINE=python/device path
-    engine = os.environ.get("SWARM_TPU_D2_ENGINE", "native")
+    engine = os.environ.get("SWARM_TPU_D2_ENGINE", "auto")
     bit_mode = set_bit_mode(d, p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend)
     max_len = max(int(db.longest), 1)
+
+    if engine == "auto":
+        engine = "native" if _native.available() else "python"
+        if (
+            _native.available() and bit_mode == 8 and n >= 32768
+            and backend in ("auto", "jax", "jax_probe", "jax_shard")
+        ):
+            try:
+                import jax
+
+                if jax.devices()[0].platform != "cpu":
+                    engine = "network"
+            except Exception:
+                pass
+    if engine == "network" and not (_native.available() and bit_mode == 8):
+        # the network formulation needs the native diff kernel and the
+        # pure-pair 8-bit semantics (the 16-bit artifact's diffs depend
+        # on the channel schedule, src/search16.cc)
+        engine = "native" if _native.available() else "python"
+
+    if engine == "network":
+        progress.init("Find qgram vects: ", n)
+        from ..ops.d2_network import D2NetworkEngine
+
+        eng = D2NetworkEngine(db, d)
+        from ..progress import replay_range
+
+        replay_range(progress, n)
+        progress.done()
+        _algo_run_network(p, db, progress, eng, n, d)
+        return
 
     if _native.available() and engine == "native":
         # offset-based arena throughout: no [n, round_up(longest)]
@@ -384,14 +418,40 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
     p.logfile.write(f"Max generations:   {maxgenerations}\n")
 
 
+def _algo_run_network(p, db, progress, eng, n, d):
+    """Network-engine path: bulk device qgram screen + native exact
+    diffs produce the directed edge list; the graph-driven C replay
+    (swarm_native.c: algo_cluster_graph) reproduces algo_cluster's
+    attachment order exactly; output writers are shared."""
+    from .. import _native
+
+    want_structure = bool(p.opt_internal_structure or p.uclustfile is not None)
+    adj_start, adj_count, adj_to, adj_diff, n_screened, n_survivors = (
+        eng.build_adjacency(
+            p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend,
+            p.opt_no_cluster_breaking,
+        )
+    )
+    res = _native.algo_cluster_graph(
+        adj_start, adj_count, adj_to, adj_diff, db.abundances,
+        want_structure,
+    )
+
+    from .. import metrics
+
+    metrics.record(
+        qgram_screen_comparisons=n * (n - 1) // 2,
+        alignment_comparisons=n_survivors,
+    )
+    _write_d2_results(p, db, progress, res, n)
+
+
 def _algo_run_native(p, db, progress, padded, profiles, bit_mode, n, d):
     """Native-engine path: the whole seed/subseed loop runs in C
     (swarm_native.c: algo_cluster); Python replays progress and formats
     the outputs from the returned arrays."""
     from .. import _native
 
-    ua = p.opt_usearch_abundance
-    aa = p.opt_append_abundance
     lengths = np.ascontiguousarray(db.lengths, dtype=np.int64)
     want_structure = bool(p.opt_internal_structure or p.uclustfile is not None)
 
@@ -408,6 +468,18 @@ def _algo_run_native(p, db, progress, padded, profiles, bit_mode, n, d):
         + res["comparisons"]["subseed_scan"],
         alignment_comparisons=res["comparisons"]["alignments"],
     )
+    _write_d2_results(p, db, progress, res, n)
+
+
+def _write_d2_results(p, db, progress, res, n):
+    """Format every d>=2 output stream from the engine result arrays
+    (reference writers: src/algo.cc:608-694 and the inline uclust/stats
+    streaming)."""
+    from .. import _native
+
+    ua = p.opt_usearch_abundance
+    aa = p.opt_append_abundance
+    lengths = np.ascontiguousarray(db.lengths, dtype=np.int64)
 
     progress.init("Clustering:       ", n)
     from ..progress import replay_values

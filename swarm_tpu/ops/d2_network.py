@@ -1,0 +1,222 @@
+"""Bulk d>=2 candidate discovery on the MXU (the TPU-first d>=2 path).
+
+The reference screens candidates per (sub)seed with a qgram popcount
+loop (src/qgram.cc:104-236 + src/algo.cc:423-432): a latency-bound
+sequential scan over the remaining pool, repeated for every subseed.
+On TPU the same mathematics — Hamming distance between 1024-bit 5-mer
+parity profiles — is a dense int8 matmul: mapping profile bits to
+{+1, -1} lanes gives
+
+    hamming(a, b) = (1024 - dot(a_pm1, b_pm1)) / 2
+
+so ALL n^2/2 candidate screens become tiled [T, 1024] x [1024, T]
+contractions on the systolic array, with the edit-distance bound
+mindiff = ceil(hamming / 10) <= d  <=>  dot >= 1024 - 20d
+(src/qgram.cc:247-252) plus the length bound |len_i - len_j| <= d
+(both sound lower bounds: survivors are a superset of the true
+edge set, and the exact aligner rejects the rest — output-identical
+to the reference by SURVEY.md section 3.5).
+
+One jitted program scans all tile pairs (I <= J), compacts surviving
+(i, j) pairs with the two-level word-flag scheme, and accumulates them
+into a bounded device buffer; only O(survivors) bytes ever cross the
+PCIe relay. Exact per-pair diffs and the order-preserving clustering
+replay run in native code (swarm_native.c: d2_diffs_pairs /
+algo_cluster_graph).
+"""
+
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .neighbors_jax import _round_up  # noqa: F401  (configures jax cache)
+
+PROFILE_BYTES = 128  # 1024-bit qgram parity vector
+PROFILE_BITS = 1024
+
+
+def _unpack_pm1(tile_bytes):
+    """[T, 128] uint8 -> [T, 1024] int8 in {+1, -1} (bit set -> -1)."""
+    T = tile_bytes.shape[0]
+    shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
+    bits = (tile_bytes[:, :, None] >> shifts) & jnp.uint8(1)
+    return (1 - 2 * bits.astype(jnp.int8)).reshape(T, PROFILE_BITS)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("T", "n", "d", "cap_step", "cap"),
+)
+def qgram_join_program(prof_bytes, lengths, tis, tjs, T, n, d, cap_step, cap):
+    """All-pairs qgram screen over tile pairs.
+
+    prof_bytes: [n_pad, 128] uint8; lengths: [n_pad] int32;
+    tis/tjs: [K] int32 tile indices (I <= J).
+    Returns (buf_a, buf_b, total, max_step): candidate pairs with
+    global ids a < b, their count, and the largest per-step count (for
+    cap_step retry).
+    """
+    dot_min = jnp.int32(PROFILE_BITS - 20 * d)
+    M = T * T
+    buf_len = cap + cap_step + 1
+
+    def step(carry, xs):
+        buf_a, buf_b, offset, max_step = carry
+        ti, tj = xs
+        a_bytes = jax.lax.dynamic_slice(prof_bytes, (ti * T, 0),
+                                        (T, PROFILE_BYTES))
+        b_bytes = jax.lax.dynamic_slice(prof_bytes, (tj * T, 0),
+                                        (T, PROFILE_BYTES))
+        a_pm1 = _unpack_pm1(a_bytes)
+        b_pm1 = _unpack_pm1(b_bytes)
+        dot = jax.lax.dot_general(
+            a_pm1, b_pm1,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [T, T]
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        gi = ti * T + rows
+        gj = tj * T + cols
+        la = jax.lax.dynamic_slice(lengths, (ti * T,), (T,))
+        lb = jax.lax.dynamic_slice(lengths, (tj * T,), (T,))
+        ldiff = jnp.abs(la[:, None] - lb[None, :])
+
+        mask = (dot >= dot_min) & (gi < gj) & (gj < n) & (ldiff <= d)
+
+        flat = mask.reshape(-1)
+        cnt = jnp.sum(flat, dtype=jnp.int32)
+
+        # two-level compaction: word flags first (32x smaller nonzero)
+        af = flat.reshape(-1, 32)
+        wflag = jnp.any(af, axis=1)
+        n_words = jnp.sum(wflag, dtype=jnp.int32)
+        (wsel,) = jnp.nonzero(wflag, size=cap_step, fill_value=0)
+        w_picked = jnp.arange(cap_step, dtype=jnp.int32) < n_words
+        bits = af[wsel] & w_picked[:, None]
+        flat_idx = wsel[:, None] * 32 + jnp.arange(32, dtype=jnp.int32)[None, :]
+        cand = jnp.where(bits, flat_idx, M).reshape(-1)
+        (sel2,) = jnp.nonzero(cand < M, size=cap_step, fill_value=0)
+        sel = jnp.minimum(cand[sel2], M - 1)
+        rank = jnp.arange(cap_step, dtype=jnp.int32)
+        picked = rank < cnt
+
+        a_ids = ti * T + (sel // T).astype(jnp.int32)
+        b_ids = tj * T + (sel % T).astype(jnp.int32)
+
+        idx = jnp.where(picked, jnp.minimum(offset, cap) + rank,
+                        buf_len - 1)
+        buf_a = buf_a.at[idx].set(a_ids)
+        buf_b = buf_b.at[idx].set(b_ids)
+        offset = offset + jnp.minimum(cnt, cap_step)
+        max_step = jnp.maximum(max_step, cnt)
+        return (buf_a, buf_b, offset, max_step), None
+
+    buf_a = jnp.zeros(buf_len, dtype=jnp.int32)
+    buf_b = jnp.zeros(buf_len, dtype=jnp.int32)
+    (buf_a, buf_b, total, max_step), _ = jax.lax.scan(
+        step,
+        (buf_a, buf_b, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+        (tis, tjs),
+    )
+    return buf_a, buf_b, total, max_step
+
+
+# last successful (cap_step, cap) per (n_pad, d) — avoids undersized
+# first attempts on repeat runs within a process
+_LAST_GOOD = {}
+
+
+class D2NetworkEngine:
+    """Device qgram join -> native exact diffs -> directed CSR edges."""
+
+    TILE = 4096
+
+    def __init__(self, db, d: int):
+        from .. import _native
+
+        self.db = db
+        self.d = int(d)
+        self.n = len(db)
+        # tests shrink the tile to exercise the multi-tile scan cheaply
+        self.TILE = int(os.environ.get("SWARM_TPU_D2_TILE", self.TILE))
+        T = self.TILE
+        self.n_pad = max(T, -(-self.n // T) * T)
+        # bit-packed qgram profiles, viewed as bytes for the device
+        prof_u64 = _native.qgram_profiles_arena(
+            db.codes, db.offsets, db.lengths
+        )
+        prof_u8 = np.zeros((self.n_pad, PROFILE_BYTES), dtype=np.uint8)
+        prof_u8[: self.n] = prof_u64.view(np.uint8).reshape(
+            self.n, PROFILE_BYTES
+        )
+        lengths = np.zeros(self.n_pad, dtype=np.int32)
+        lengths[: self.n] = db.lengths
+        self.prof_dev = jnp.asarray(prof_u8)
+        self.len_dev = jnp.asarray(lengths)
+        self.profiles_u64 = prof_u64
+
+    def candidate_pairs(self):
+        """(pa, pb, n_screened) — unordered candidate pairs (a < b)."""
+        T = self.TILE
+        n_tiles = self.n_pad // T
+        tis, tjs = [], []
+        for i in range(n_tiles):
+            for j in range(i, n_tiles):
+                tis.append(i)
+                tjs.append(j)
+        tis = jnp.asarray(np.asarray(tis, dtype=np.int32))
+        tjs = jnp.asarray(np.asarray(tjs, dtype=np.int32))
+
+        key = (self.n_pad, self.d)
+        cap_step, cap = _LAST_GOOD.get(key, (1 << 16, 1 << 20))
+        while True:
+            buf_a, buf_b, total, max_step = qgram_join_program(
+                self.prof_dev, self.len_dev, tis, tjs,
+                T=T, n=self.n, d=self.d, cap_step=cap_step, cap=cap,
+            )
+            total = int(total)
+            max_step = int(max_step)
+            if max_step > cap_step:
+                cap_step = 1 << (max_step - 1).bit_length()
+                continue
+            if total > cap:
+                cap = 1 << (total - 1).bit_length()
+                continue
+            break
+        _LAST_GOOD[key] = (cap_step, cap)
+        pa = np.asarray(buf_a[:total]).astype(np.int64)
+        pb = np.asarray(buf_b[:total]).astype(np.int64)
+        return pa, pb, total
+
+    def build_adjacency(self, mismatch, gapopen, gapextend, no_break):
+        """Directed CSR adjacency (adj_start, adj_count, adj_to,
+        adj_diff) of exact accepted edges, targets ascending, plus the
+        screened-candidate count for the comparison metrics."""
+        from .. import _native
+
+        db = self.db
+        pa, pb, n_screened = self.candidate_pairs()
+        diff_ab, diff_ba = _native.d2_diffs_pairs(
+            db.codes, db.offsets, db.lengths, db.abundances, pa, pb,
+            self.d, mismatch, gapopen, gapextend, no_break,
+        )
+        keep_ab = diff_ab >= 0
+        keep_ba = diff_ba >= 0
+        ef = np.concatenate([pa[keep_ab], pb[keep_ba]])
+        et = np.concatenate([pb[keep_ab], pa[keep_ba]])
+        ediff = np.concatenate([diff_ab[keep_ab], diff_ba[keep_ba]])
+        order = np.lexsort((et, ef))
+        ef, et, ediff = ef[order], et[order], ediff[order]
+        n = self.n
+        adj_count = np.bincount(ef, minlength=n).astype(np.int64) if n else \
+            np.zeros(0, dtype=np.int64)
+        adj_start = np.zeros(n, dtype=np.int64)
+        if n:
+            np.cumsum(adj_count[:-1], out=adj_start[1:])
+        return adj_start, adj_count, et, ediff, n_screened, len(pa)

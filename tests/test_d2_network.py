@@ -1,0 +1,159 @@
+"""Parity of the d>=2 network engine (bulk MXU qgram join + graph
+clustering replay) against the reference binary and the native engine.
+
+The engine reformulates src/algo.cc's per-seed loop as edge discovery
+(all pairs, sound lower-bound screens, exact diffs) + an
+order-preserving graph replay (swarm_native.c: algo_cluster_graph);
+these tests force it on (SWARM_TPU_D2_ENGINE=network) with a small
+device tile so the multi-tile scan path runs on the CPU backend.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from genfasta import amplicon_cloud
+
+ALL_OUTPUTS = [
+    "-o", "out.txt",
+    "-s", "stats.txt",
+    "-u", "uclust.txt",
+    "-i", "structure.txt",
+    "-w", "seeds.fasta",
+    "-l", "log.txt",
+]
+
+
+@pytest.fixture(autouse=True)
+def _force_network_engine(monkeypatch):
+    monkeypatch.setenv("SWARM_TPU_D2_ENGINE", "network")
+    monkeypatch.setenv("SWARM_TPU_D2_TILE", "128")
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_network_d2_all_outputs(both, seed):
+    fasta = amplicon_cloud(
+        seed=seed, n_centers=6, cloud_size=20, length=70, max_edits=3
+    )
+    both.compare(["-d", "2"] + ALL_OUTPUTS, fasta)
+
+
+def test_network_d3(both):
+    fasta = amplicon_cloud(
+        seed=43, n_centers=4, cloud_size=15, length=60, max_edits=4
+    )
+    both.compare(["-d", "3"] + ALL_OUTPUTS, fasta)
+
+
+def test_network_no_otu_breaking(both):
+    fasta = amplicon_cloud(
+        seed=44, n_centers=4, cloud_size=12, length=50, max_edits=3
+    )
+    both.compare(["-d", "2", "-n"] + ALL_OUTPUTS, fasta)
+
+
+def test_network_equal_abundances(both):
+    # every abundance equal: both edge directions exist everywhere,
+    # exercising the per-direction diff computation and tie ordering
+    rng = np.random.default_rng(45)
+    recs = []
+    seqs = set()
+    base = rng.integers(0, 4, size=50)
+    for i in range(60):
+        v = base.copy()
+        for _ in range(rng.integers(1, 4)):
+            v[rng.integers(0, len(v))] = rng.integers(0, 4)
+        key = v.tobytes()
+        if key in seqs:
+            continue
+        seqs.add(key)
+        recs.append(f">s{i}_3\n" + "".join("ACGT"[c] for c in v) + "\n")
+    both.compare(["-d", "2"] + ALL_OUTPUTS, "".join(recs))
+
+
+def test_network_multi_tile(both):
+    # > 3 tiles at the test tile size: the tile-pair scan, the
+    # cross-tile upper-triangle masking, and the buffer accumulation
+    fasta = amplicon_cloud(
+        seed=46, n_centers=30, cloud_size=18, length=64, max_edits=3
+    )
+    both.compare(["-d", "2", "-o", "out.txt", "-s", "stats.txt",
+                  "-l", "log.txt"], fasta)
+
+
+def test_network_custom_scores(both):
+    fasta = amplicon_cloud(
+        seed=47, n_centers=4, cloud_size=10, length=50, max_edits=3
+    )
+    both.compare(
+        ["-d", "2", "-m", "2", "-p", "3", "-g", "6", "-e", "2"] + ALL_OUTPUTS,
+        fasta,
+    )
+
+
+def test_network_16bit_falls_back(both):
+    # d high enough to force the 16-bit kernel: the network engine must
+    # silently fall back to the native engine (the artifact's diffs are
+    # schedule-dependent) and stay byte-identical
+    fasta = amplicon_cloud(
+        seed=48, n_centers=2, cloud_size=10, length=50, max_edits=8
+    )
+    both.compare(["-d", "30"] + ALL_OUTPUTS, fasta)
+
+
+def _db_from_seqs(seqs):
+    from swarm_tpu.db import Db
+
+    n = len(seqs)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    codes = np.concatenate(seqs).astype(np.uint8) if n else np.zeros(0, np.uint8)
+    db = Db()
+    db.headers = [f"seq{i}_1".encode() for i in range(n)]
+    db.codes = codes
+    db.offsets = offsets
+    db.lengths = lengths
+    db.abundances = np.ones(n, dtype=np.int64)
+    db.longest = int(lengths.max()) if n else 0
+    db.nucleotides = int(lengths.sum()) if n else 0
+    return db
+
+
+def test_qgram_join_matches_host_bound():
+    """Device tile-pair survivors == host qgram+length screen."""
+    os.environ.setdefault("SWARM_TPU_D2_TILE", "128")
+    from swarm_tpu.ops.d2_network import D2NetworkEngine
+    from swarm_tpu.ops.qgram import qgram_profiles
+    from swarm_tpu.ops.neighbors import pad_codes
+
+    rng = np.random.default_rng(49)
+    seqs = []
+    for _ in range(8):
+        base = rng.integers(0, 4, size=60).astype(np.uint8)
+        for _ in range(12):
+            v = base.copy()
+            for _ in range(int(rng.integers(0, 5))):
+                v[rng.integers(0, len(v))] = rng.integers(0, 4)
+            seqs.append(v)
+    db = _db_from_seqs(seqs)
+    d = 2
+    eng = D2NetworkEngine(db, d)
+    pa, pb, total = eng.candidate_pairs()
+    got = set(zip(pa.tolist(), pb.tolist()))
+
+    padded = pad_codes(db.codes, db.offsets, db.lengths, int(db.longest))
+    profiles = qgram_profiles(padded, db.lengths)
+    n = len(db)
+    want = set()
+    for i in range(n):
+        x = profiles[i][None, :] ^ profiles[i + 1 :]
+        diffs = np.bitwise_count(x).sum(axis=1)
+        mind = (diffs + 9) // 10
+        for rel in np.nonzero(
+            (mind <= d)
+            & (np.abs(db.lengths[i + 1 :] - db.lengths[i]) <= d)
+        )[0]:
+            want.add((i, i + 1 + int(rel)))
+    assert got == want
