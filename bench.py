@@ -267,7 +267,9 @@ def emit(results: dict) -> None:
 
 
 def main() -> None:
-    backend = os.environ.get("SWARM_TPU_BENCH_BACKEND", "jax")
+    # "auto" is the product default: big corpora route to the device
+    # engines, small ones to the latency-optimized native host path
+    backend = os.environ.get("SWARM_TPU_BENCH_BACKEND", "auto")
     selected = os.environ.get("SWARM_TPU_BENCH_CONFIGS", "")
     names = [c.strip() for c in selected.split(",") if c.strip()] or list(CONFIGS)
     n_override = os.environ.get("SWARM_TPU_BENCH_N")

@@ -534,6 +534,37 @@ def write_uclust_d1(db, arena: "HeaderArena", append_ab, usearch,
         return out.raw[:w]
 
 
+def write_seeds_d1(db, arena: "HeaderArena", usearch,
+                   swarm_seed, swarm_mass, attached):
+    """-w seeds output ((mass desc, header) order) and the emitted
+    record count (reference src/algod1.cc:936-975)."""
+    lib.write_seeds_d1.restype = ctypes.c_int64
+    seeds_arr = np.ascontiguousarray(swarm_seed, dtype=np.int64)
+    mass_arr = np.ascontiguousarray(swarm_mass, dtype=np.int64)
+    attached_arr = np.ascontiguousarray(attached, dtype=np.uint8)
+    nswarms = len(seeds_arr)
+    cap = 64 + (
+        int(arena.hdr_len[seeds_arr].sum())
+        + int(np.asarray(db.lengths)[seeds_arr].sum())
+        + 64 * nswarms
+        if nswarms
+        else 0
+    )
+    n_written = np.zeros(1, dtype=np.int64)
+    out = ctypes.create_string_buffer(cap)
+    w = lib.write_seeds_d1(
+        _ptr(arena.arena), _ptr(arena.hdr_off), _ptr(arena.hdr_len),
+        _ptr(arena.ab_start), _ptr(arena.ab_end),
+        _ptr(db.codes), _ptr(db.offsets), _ptr(db.lengths),
+        _ptr(seeds_arr), _ptr(mass_arr), _ptr(attached_arr),
+        ctypes.c_int64(nswarms), ctypes.c_int(1 if usearch else 0),
+        out, ctypes.c_int64(cap), _ptr(n_written),
+    )
+    if w < 0:
+        raise MemoryError("write_seeds_d1 buffer")
+    return out.raw[:w], int(n_written[0])
+
+
 if lib is not None:
     lib.write_network_d1.restype = ctypes.c_int64
 

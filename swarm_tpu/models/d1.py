@@ -684,7 +684,17 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
         progress.done()
 
     # seeds
-    if p.opt_seeds:
+    if p.opt_seeds and arena is not None:
+        progress.init("Writing seeds:    ", swarmcount)
+        blob, n_written = _native.write_seeds_d1(
+            db, arena, ua, st.swarm_seed, st.swarm_mass, attached_u8
+        )
+        p.seeds_file.write(blob.decode("latin-1"))
+        from ..progress import replay_range
+
+        replay_range(progress, n_written + 1)
+        progress.done()
+    elif p.opt_seeds:
         progress.init("Writing seeds:    ", swarmcount)
         order = sorted(
             range(swarmcount),
