@@ -8,6 +8,7 @@ sorted by decreasing abundance then lexicographic header, which is the
 anchor of swarm's output determinism.
 """
 
+import io
 import os
 import stat
 import sys
@@ -222,7 +223,10 @@ def db_read(p: Parameters, progress: Progress) -> Db:
     # --- open input ---
     if p.input_filename == "-":
         data = sys.stdin.buffer
-        fd = data.fileno() if hasattr(data, "fileno") else None
+        try:
+            fd = data.fileno()
+        except (AttributeError, OSError, ValueError, io.UnsupportedOperation):
+            fd = None  # in-memory stdin (resident-server forwarding)
     else:
         try:
             data = open(p.input_filename, "rb")
@@ -236,9 +240,15 @@ def db_read(p: Parameters, progress: Progress) -> Db:
         fd = data.fileno()
 
     try:
-        mode = os.fstat(fd).st_mode
-        is_regular = stat.S_ISREG(mode)
-        filesize = os.fstat(fd).st_size if is_regular else 0
+        if fd is None:
+            # in-memory stdin (resident-server forwarding): same
+            # behavior as a pipe on the direct CLI path
+            is_regular = False
+            filesize = 0
+        else:
+            mode = os.fstat(fd).st_mode
+            is_regular = stat.S_ISREG(mode)
+            filesize = os.fstat(fd).st_size if is_regular else 0
     except OSError:
         fatal(
             ERROR_PREFIX,
