@@ -411,16 +411,29 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
 
     # graft candidates: join heavy variant hashes against light variant
     # hashes; exact verification by comparing reconstructed midpoints.
-    if index._resolve_backend() in ("jax", "jax_probe", "jax_shard"):
+    backend = index._resolve_backend()
+    if backend in ("jax", "jax_probe", "jax_shard"):
         from ..ops.fastidious_jax import GraftEngine
         from ..ops.neighbors_jax import _round_up, make_zobrist_pair
         from ..ops.neighbors import pad_codes
 
         width = _round_up(index.max_len, 64)
         padded_w = pad_codes(db.codes, db.offsets, db.lengths, width)
-        eng = GraftEngine(
-            padded_w, db.lengths.astype(np.int32), make_zobrist_pair(width)
-        )
+        graft_mode = os.environ.get("SWARM_TPU_GRAFT", "")
+        if backend == "jax_shard" and graft_mode != "chunked" or (
+            graft_mode == "sharded"
+        ):
+            # hash-range sharded join over the mesh (SURVEY.md 5.8)
+            from ..parallel.mesh import ShardedGraftEngine
+
+            eng = ShardedGraftEngine(
+                padded_w, db.lengths.astype(np.int32),
+                np.asarray(make_zobrist_pair(width)),
+            )
+        else:
+            eng = GraftEngine(
+                padded_w, db.lengths.astype(np.int32), make_zobrist_pair(width)
+            )
         graft_candidates, graft_cand = eng.graft_candidates(
             heavy_amps, light_amps
         )

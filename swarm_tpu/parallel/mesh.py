@@ -349,3 +349,319 @@ class SortJoinShardedEngine:
             ef, et = ef[keep], et[keep]
         order = np.lexsort((et, ef))
         return ef[order], et[order]
+
+
+# ---------------------------------------------------------------------
+# distributed fastidious graft join (SURVEY.md section 5.8; the
+# single-device engine is ops/fastidious_jax.py)
+# ---------------------------------------------------------------------
+
+from ..ops.fastidious_jax import _SENT32, _variant_rows  # noqa: E402
+from ..ops.neighbors_jax import variant_hash_halves  # noqa: E402
+
+
+def _shard_variant_keys(ids, padded_full, lengths_full, zob, lcap):
+    """Variant-hash keys for one side's shard of amplicon ids.
+
+    Returns flattened (hi, lo, amp, slot, valid) with the kind-major
+    slot layout truncated to lcap (ops/fastidious_jax.variant_keys_hilo
+    semantics, re-derived here because shard_map bodies must stay
+    jit-inline)."""
+    W = padded_full.shape[1]
+    rows = padded_full[jnp.maximum(ids, 0)]
+    lens = jnp.where(ids >= 0, lengths_full[jnp.maximum(ids, 0)], 0)
+    (h_hi, h_lo), _, valid = variant_hash_halves(rows, lens, zob)
+    C = h_hi.shape[0]
+
+    def trunc(x):
+        return jnp.concatenate(
+            [
+                x[:, : 7 * W].reshape(C, 7, W)[:, :, :lcap].reshape(C, 7 * lcap),
+                x[:, 7 * W:],
+            ],
+            axis=1,
+        )
+
+    h_hi, h_lo, valid = trunc(h_hi), trunc(h_lo), trunc(valid)
+    valid = valid & (ids[:, None] >= 0)
+    S = 7 * lcap + 4
+    amp = jnp.broadcast_to(ids[:, None], (C, S))
+    slot = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (C, S))
+    return (
+        h_hi.reshape(-1), h_lo.reshape(-1),
+        amp.reshape(-1), slot.reshape(-1), valid.reshape(-1),
+    )
+
+
+def _route_blocks(hi, lo, amp, meta, valid, log2d, cap_block):
+    """Stage keys into fixed per-destination blocks (dest = top log2d
+    bits of hi) and exchange them over the ICI. Returns the received
+    (hi, lo, amp, meta) streams plus the largest block fill (overflow
+    detection)."""
+    D = 1 << log2d
+    sent = _SENT32
+    hi_r = jnp.where(valid, hi, sent)
+    route = (hi_r >> jnp.uint32(32 - log2d)).astype(jnp.int32)
+    route = jnp.where(valid, route, D)
+
+    order = jnp.argsort(route)
+    hi_s = hi_r[order]
+    lo_s = lo[order]
+    amp_s = amp[order]
+    meta_s = meta[order]
+    route_s = route[order]
+
+    seg_start = jnp.concatenate(
+        [jnp.zeros(1, bool), route_s[1:] != route_s[:-1]]
+    )
+    idx = jnp.arange(route_s.shape[0], dtype=jnp.int32)
+    seg_first = jnp.where(seg_start | (idx == 0), idx, 0)
+    seg_first = jax.lax.associative_scan(jnp.maximum, seg_first)
+    within = idx - seg_first
+    counts = jnp.zeros((D,), jnp.int32).at[jnp.minimum(route_s, D - 1)].add(
+        jnp.where(route_s < D, 1, 0)
+    )
+    block_over = jnp.max(counts)
+
+    dst = jnp.where(
+        (route_s < D) & (within < cap_block),
+        route_s * cap_block + within,
+        D * cap_block,
+    )
+
+    def stage(vals, fill):
+        buf = jnp.full((D * cap_block + 1,), fill, vals.dtype)
+        return buf.at[dst].set(vals)[:-1].reshape(D, cap_block)
+
+    r = [
+        jax.lax.all_to_all(stage(v, f), "amps", 0, 0, tiled=False).reshape(-1)
+        for v, f in (
+            (hi_s, sent), (lo_s, jnp.uint32(0)),
+            (amp_s, jnp.int32(-1)), (meta_s, jnp.int32(0)),
+        )
+    ]
+    return r[0], r[1], r[2], r[3], block_over
+
+
+def _sharded_graft_body(
+    ids_small, ids_big, packed_full, lengths_full, zob,
+    width, lcap, cap_block, cap3, cap, window, log2d, small_is_heavy,
+):
+    """Per-device: variant keys for both sides' shards -> hash-range
+    all_to_all -> local sort-join with cross-side windowed runs ->
+    midpoint verification against the replicated code table."""
+    padded_full = unpack2bit_device(packed_full, width)
+
+    s_hi, s_lo, s_amp, s_slot, s_val = _shard_variant_keys(
+        ids_small, padded_full, lengths_full, zob, lcap
+    )
+    b_hi, b_lo, b_amp, b_slot, b_val = _shard_variant_keys(
+        ids_big, padded_full, lengths_full, zob, lcap
+    )
+    # meta carries (slot | side << 16); slots are < 7*lcap+4 <= 65535
+    hi = jnp.concatenate([s_hi, b_hi])
+    lo = jnp.concatenate([s_lo, b_lo])
+    amp = jnp.concatenate([s_amp, b_amp])
+    meta = jnp.concatenate([s_slot, b_slot | jnp.int32(1 << 16)])
+    valid = jnp.concatenate([s_val, b_val])
+
+    r_hi, r_lo, r_amp, r_meta, block_over = _route_blocks(
+        hi, lo, amp, meta, valid, log2d, cap_block
+    )
+
+    k_hi, k_lo, k_amp, k_meta = jax.lax.sort(
+        (r_hi, r_lo, r_amp, r_meta), num_keys=2
+    )
+    M = k_hi.shape[0]
+    val = (k_amp >= 0) & ~((k_hi == _SENT32) & (k_lo == _SENT32))
+    side_big = (k_meta >> 16) != 0
+
+    def shifted(j, cross):
+        eq = (k_hi[j:] == k_hi[:-j]) & (k_lo[j:] == k_lo[:-j])
+        eq = eq & val[j:] & val[:-j]
+        if cross:
+            eq = eq & (side_big[j:] != side_big[:-j])
+        return jnp.concatenate([jnp.zeros(j, dtype=bool), eq])
+
+    eqs = [shifted(j, True) for j in range(1, window + 1)]
+    anyflag = eqs[0]
+    for e in eqs[1:]:
+        anyflag = anyflag | e
+    over = (
+        shifted(window + 1, False) if M > window + 1
+        else jnp.zeros(M, dtype=bool)
+    )
+    overflow_run = jnp.sum(over, dtype=jnp.int32)
+
+    n_flagged = jnp.sum(anyflag, dtype=jnp.int32)
+    M32 = -(-M // 32) * 32
+    af = jnp.concatenate(
+        [anyflag, jnp.zeros(M32 - M, dtype=bool)]
+    ).reshape(-1, 32)
+    wflag = jnp.any(af, axis=1)
+    n_words = jnp.sum(wflag, dtype=jnp.int32)
+    (wsel,) = jnp.nonzero(wflag, size=cap3, fill_value=0)
+    w_picked = jnp.arange(cap3, dtype=jnp.int32) < n_words
+    bits = af[wsel] & w_picked[:, None]
+    flat_idx = wsel[:, None] * 32 + jnp.arange(32, dtype=jnp.int32)[None, :]
+    cand = jnp.where(bits, flat_idx, M32).reshape(-1)
+    (sel2,) = jnp.nonzero(cand < M32, size=cap3, fill_value=0)
+    sel = jnp.minimum(cand[sel2], M - 1)
+    picked = jnp.arange(cap3, dtype=jnp.int32) < n_flagged
+
+    okflat = jnp.stack(
+        [picked & eqs[j - 1][sel] for j in range(1, window + 1)], axis=1
+    ).reshape(-1)
+    a_pos_f = jnp.repeat(sel, window)
+    b_pos_f = jnp.stack(
+        [jnp.clip(sel - j, 0, M - 1) for j in range(1, window + 1)], axis=1
+    ).reshape(-1)
+
+    n_pairs = jnp.sum(okflat, dtype=jnp.int32)
+    (psel,) = jnp.nonzero(okflat, size=cap, fill_value=0)
+    picked2 = jnp.arange(cap, dtype=jnp.int32) < n_pairs
+
+    a_pos = jnp.where(picked2, a_pos_f[psel], 0)
+    b_pos = jnp.where(picked2, b_pos_f[psel], 0)
+    a_amp = jnp.where(picked2, k_amp[a_pos], 0)
+    b_amp = jnp.where(picked2, k_amp[b_pos], 0)
+    a_slot = k_meta[a_pos] & jnp.int32(0xFFFF)
+    b_slot = k_meta[b_pos] & jnp.int32(0xFFFF)
+    a_big = (k_meta[a_pos] >> 16) != 0
+
+    rows_a, len_a = _variant_rows(
+        padded_full, lengths_full, a_amp, a_slot, width, lcap
+    )
+    rows_b, len_b = _variant_rows(
+        padded_full, lengths_full, b_amp, b_slot, width, lcap
+    )
+    good = picked2 & (len_a == len_b) & jnp.all(rows_a == rows_b, axis=1)
+
+    a_is_heavy = (~a_big) == small_is_heavy
+    h_amp = jnp.where(a_is_heavy, a_amp, b_amp)
+    l_amp = jnp.where(a_is_heavy, b_amp, a_amp)
+
+    stats = jnp.stack(
+        [
+            jax.lax.pmax(block_over, "amps"),
+            jax.lax.pmax(n_flagged, "amps"),
+            jax.lax.pmax(n_pairs, "amps"),
+            jax.lax.pmax(overflow_run, "amps"),
+        ]
+    )
+    return h_amp[None], l_amp[None], good[None], stats
+
+
+class ShardedGraftEngine:
+    """Distributed graft-candidate discovery: both sides' variant keys
+    are generated shard-parallel, routed to hash-range owners over the
+    ICI, joined and midpoint-verified per range. Same contract as
+    ops/fastidious_jax.GraftEngine.graft_candidates (count semantics:
+    one verified triple per distinct midpoint instance)."""
+
+    def __init__(self, padded_np, lengths_np, zob_pair_np, mesh: Mesh = None):
+        devices = jax.devices()
+        if mesh is None:
+            d_pow2 = 1 << (len(devices).bit_length() - 1)
+            mesh = Mesh(np.array(devices[:d_pow2]), ("amps",))
+        self.mesh = mesh
+        self.D = mesh.devices.size
+        assert self.D & (self.D - 1) == 0
+        self.log2d = self.D.bit_length() - 1
+
+        self.width = padded_np.shape[1]
+        self.n = padded_np.shape[0]
+        from ..ops.neighbors_sortjoin import pack2bit
+
+        self.packed = jnp.asarray(pack2bit(padded_np))
+        self.lengths = jnp.asarray(lengths_np.astype(np.int32))
+        self.zob = jnp.asarray(zob_pair_np)
+        lcap = int(-(-int(lengths_np.max() if len(lengths_np) else 1) // 16) * 16)
+        self.lcap = max(16, min(lcap, self.width))
+        assert 7 * self.lcap + 4 < (1 << 16)
+        self._fns = {}
+
+    def _fn(self, rows_side, cap_block, cap3, cap, window, small_is_heavy):
+        key = (rows_side, cap_block, cap3, cap, window, small_is_heavy)
+        fn = self._fns.get(key)
+        if fn is None:
+            body = partial(
+                _sharded_graft_body,
+                width=self.width, lcap=self.lcap, cap_block=cap_block,
+                cap3=cap3, cap=cap, window=window, log2d=self.log2d,
+                small_is_heavy=small_is_heavy,
+            )
+            mapped = jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P("amps"), P("amps"), P(), P(), P()),
+                out_specs=(P("amps"), P("amps"), P("amps"), P()),
+            )
+            fn = jax.jit(mapped)
+            self._fns[key] = fn
+        return fn
+
+    def graft_candidates(self, heavy_amps: np.ndarray, light_amps: np.ndarray):
+        if len(heavy_amps) == 0 or len(light_amps) == 0:
+            return 0, np.full(self.n, -1, dtype=np.int64)
+
+        small_is_heavy = len(heavy_amps) <= len(light_amps)
+        small = heavy_amps if small_is_heavy else light_amps
+        big = light_amps if small_is_heavy else heavy_amps
+
+        def pad_ids(amps, rows):
+            ids = np.full(rows, -1, dtype=np.int32)
+            ids[: len(amps)] = amps
+            return jnp.asarray(ids)
+
+        def side_rows(n_amps):
+            per_dev = max(64, -(-n_amps // self.D))
+            return per_dev * self.D
+
+        rows_small = side_rows(len(small))
+        rows_big = side_rows(len(big))
+        rows_side = (rows_small, rows_big)
+        ids_small = pad_ids(small, rows_small)
+        ids_big = pad_ids(big, rows_big)
+
+        S = 7 * self.lcap + 4
+        keys_per_dev = (rows_small + rows_big) // self.D * S
+        cap_block = max(1024, int(keys_per_dev / self.D * 1.5))
+        cap3 = 1 << 15
+        cap = 1 << 15
+        window = 8
+        while True:
+            fn = self._fn(rows_side, cap_block, cap3, cap, window,
+                          small_is_heavy)
+            h_amp, l_amp, good, stats = fn(
+                ids_small, ids_big, self.packed, self.lengths, self.zob
+            )
+            block_over, f_max, p_max, over = (
+                int(x) for x in np.asarray(stats)
+            )
+            if block_over > cap_block:
+                cap_block = int(block_over * 1.25)
+                continue
+            if over > 0:
+                window *= 2
+                continue
+            if f_max > cap3:
+                cap3 *= 2
+                continue
+            if p_max > cap:
+                cap *= 2
+                continue
+            break
+
+        good_np = np.asarray(good).reshape(-1)
+        h = np.asarray(h_amp).reshape(-1)[good_np].astype(np.int64)
+        l = np.asarray(l_amp).reshape(-1)[good_np].astype(np.int64)
+        total = int(good_np.sum())
+        graft_cand = np.full(self.n, -1, dtype=np.int64)
+        if total:
+            order = np.lexsort((h, l))
+            l_sorted, h_sorted = l[order], h[order]
+            first = np.ones(len(l_sorted), dtype=bool)
+            first[1:] = l_sorted[1:] != l_sorted[:-1]
+            graft_cand[l_sorted[first]] = h_sorted[first]
+        return total, graft_cand
