@@ -40,6 +40,21 @@ static const uint8_t NT_MAP[256] = {
     ['G'] = 3, ['g'] = 3, ['T'] = 4, ['t'] = 4, ['U'] = 4, ['u'] = 4,
 };
 
+/* direct-to-code map for the branch-free fast path: db codes 0..3,
+ * anything else (incl. '\r' and NUL) = 0xFF -> line falls back to the
+ * careful loop */
+static uint8_t NT_MAP0[256];
+static int nt_map0_ready = 0;
+static void nt_map0_init(void) {
+  if (nt_map0_ready)
+    return;
+  memset(NT_MAP0, 0xFF, sizeof NT_MAP0);
+  for (int c = 0; c < 256; c++)
+    if (NT_MAP[c])
+      NT_MAP0[c] = (uint8_t)(NT_MAP[c] - 1);
+  nt_map0_ready = 1;
+}
+
 /* Scan the whole fasta buffer. Returns the number of records or a
  * negative error code (details in err_info). Caller allocates codes
  * (buflen bytes) and the per-record arrays (max_records entries). */
@@ -49,6 +64,7 @@ int64_t fasta_scan(const uint8_t *buf, int64_t buflen, uint8_t *codes,
                    int64_t max_records, int64_t *err_info) {
   int64_t nrec = 0;
   int64_t codes_pos = 0;
+  nt_map0_init();
   int64_t pos = 0;     /* byte offset of current line start */
   int64_t lineno = 0;  /* 1-based number of current line */
   int64_t filepos = 0; /* replicates the reference's progress position */
@@ -106,25 +122,46 @@ int64_t fasta_scan(const uint8_t *buf, int64_t buflen, uint8_t *codes,
       lineno++;
       filepos += lsz;
 
-      for (int64_t i = pos; i < eol2; i++) {
-        uint8_t c = buf[i];
-        if (c == '\0')
-          break; /* C-string scan stops at NUL */
-        if (c == '\r')
-          continue; /* silently skipped */
-        uint8_t t = NT_MAP[c];
-        if (t == 0) {
-          err_info[0] = ERR_ILLEGAL_CHAR;
-          err_info[1] = lineno;
-          err_info[2] = c;
-          return -1;
-        }
-        codes[codes_pos++] = t;
-        slen++;
+      /* branch-free fast path: translate the whole line assuming only
+       * clean code characters; any special byte ('\r', NUL, illegal)
+       * poisons `bad` (codes are 0..3, specials 0xFF) and the line is
+       * redone by the careful loop below */
+      uint8_t bad = 0;
+      int64_t llen = eol2 - pos;
+      for (int64_t i = 0; i < llen; i++) {
+        uint8_t t = NT_MAP0[buf[pos + i]];
+        codes[codes_pos + i] = t;
+        bad |= t;
+      }
+      if (!(bad & 0xFC)) {
+        codes_pos += llen;
+        slen += llen;
         if (slen > MAX_SEQUENCE_LENGTH) {
           err_info[0] = ERR_SEQ_TOO_LONG;
           err_info[1] = lineno;
           return -1;
+        }
+      } else {
+        for (int64_t i = pos; i < eol2; i++) {
+          uint8_t c = buf[i];
+          if (c == '\0')
+            break; /* C-string scan stops at NUL */
+          if (c == '\r')
+            continue; /* silently skipped */
+          uint8_t t = NT_MAP[c];
+          if (t == 0) {
+            err_info[0] = ERR_ILLEGAL_CHAR;
+            err_info[1] = lineno;
+            err_info[2] = c;
+            return -1;
+          }
+          codes[codes_pos++] = (uint8_t)(t - 1);
+          slen++;
+          if (slen > MAX_SEQUENCE_LENGTH) {
+            err_info[0] = ERR_SEQ_TOO_LONG;
+            err_info[1] = lineno;
+            return -1;
+          }
         }
       }
       pos = nl2 ? eol2 + 1 : buflen;
@@ -588,18 +625,16 @@ void nw_backtrack_batch(const uint8_t *qseq, int64_t qlen,
 /* arena gather: reorder per-record code segments into sorted order    */
 /* ------------------------------------------------------------------ */
 
-/* out must hold sum(seq_len). Translates parser codes 1..4 to 0..3. */
+/* out must hold sum(seq_len); the parser already emits db codes 0..3,
+ * so this is a pure segment permutation */
 void gather_arena(const uint8_t *codes, const int64_t *seq_off,
                   const int64_t *seq_len, const int64_t *order, int64_t n,
                   uint8_t *out) {
   int64_t pos = 0;
   for (int64_t i = 0; i < n; i++) {
     int64_t rec = order[i];
-    const uint8_t *src = codes + seq_off[rec];
-    int64_t len = seq_len[rec];
-    for (int64_t j = 0; j < len; j++)
-      out[pos + j] = (uint8_t)(src[j] - 1);
-    pos += len;
+    memcpy(out + pos, codes + seq_off[rec], (size_t)seq_len[rec]);
+    pos += seq_len[rec];
   }
 }
 
