@@ -316,6 +316,31 @@ def nw_align(dseq, qseq, mismatch, gapopen, gapextend):
     return int(out3[0]), int(out3[1]), cigar.value[: out3[2]].decode("ascii")
 
 
+def nw_align_banded(dseq, qseq, mismatch, gapopen, gapextend, band):
+    """Banded variant of nw_align; returns None when the band-exit
+    bound rejects (caller must use the full matrix)."""
+    dlen = len(dseq)
+    qlen = len(qseq)
+    lib.nw_align_banded.restype = ctypes.c_int
+    B = 2 * band + abs(qlen - dlen) + 1
+    dirs = np.empty(max(dlen * B, 1), dtype=np.uint8)
+    H = np.empty(max(qlen, 1), dtype=np.int64)
+    E = np.empty(max(qlen, 1), dtype=np.int64)
+    raw = ctypes.create_string_buffer(dlen + qlen + 2)
+    cigar = ctypes.create_string_buffer(8 * (dlen + qlen) + 16)
+    out3 = np.zeros(3, dtype=np.int64)
+    ok = lib.nw_align_banded(
+        _ptr(np.ascontiguousarray(dseq, dtype=np.uint8)), ctypes.c_int64(dlen),
+        _ptr(np.ascontiguousarray(qseq, dtype=np.uint8)), ctypes.c_int64(qlen),
+        ctypes.c_int64(mismatch), ctypes.c_int64(gapopen),
+        ctypes.c_int64(gapextend), ctypes.c_int64(band),
+        _ptr(dirs), _ptr(H), _ptr(E), raw, cigar, _ptr(out3),
+    )
+    if not ok:
+        return None
+    return int(out3[0]), int(out3[1]), cigar.value[: out3[2]].decode("ascii")
+
+
 if lib is not None:
     lib.write_swarms_plain.restype = ctypes.c_int64
     lib.write_stats_d1.restype = ctypes.c_int64

@@ -785,6 +785,165 @@ void nw_align(const uint8_t *dseq, int64_t dlen, const uint8_t *qseq,
   out3[2] = clen;
 }
 
+/* Banded nw_align: identical output to nw_align whenever it accepts.
+ *
+ * Correctness argument (cost space, penalties positive): any alignment
+ * path whose column-row offset leaves [-wL, wR] contains at least
+ * w+1 surplus insertions or deletions beyond the length difference,
+ * so its cost is >= go + ge*(2*(w+1) + |qlen-dlen|).  If the banded
+ * optimum c* is strictly below that bound, every cost-optimal path of
+ * the FULL matrix lies inside the band; and at every cell the
+ * backtrack visits, an out-of-band neighbour can neither win nor tie
+ * the local argmin (a win/tie would extend to an optimal full path
+ * exiting the band, cost >= bound > c*).  Hence all visited direction
+ * bits — including the gap-extension bits — equal the full-matrix
+ * bits, and the backtrack, CIGAR and match count are byte-identical.
+ * On c* >= bound the caller must rerun the full nw_align.
+ *
+ * dirs must hold dlen * (wL + wR + 1) bytes; Hbuf/Ebuf hold qlen.
+ * Returns 1 when accepted (raw/cigar/out3 filled), 0 otherwise. */
+int nw_align_banded(const uint8_t *dseq, int64_t dlen, const uint8_t *qseq,
+                    int64_t qlen, int64_t mismatch, int64_t go, int64_t ge,
+                    int64_t w, uint8_t *dirs, int64_t *Hbuf, int64_t *Ebuf,
+                    char *raw, char *cigar, int64_t *out3) {
+  const int64_t INF = (int64_t)1 << 42;
+  int64_t F = qlen - dlen;
+  int64_t wL = w + (F < 0 ? -F : 0);
+  int64_t wR = w + (F > 0 ? F : 0);
+  int64_t B = wL + wR + 1;
+  if (B >= qlen) /* band covers the full matrix: no point */
+    return 0;
+
+  for (int64_t c = 0; c < qlen; c++) {
+    Hbuf[c] = INF;
+    Ebuf[c] = INF;
+  }
+  {
+    int64_t cend0 = wR < qlen - 1 ? wR : qlen - 1;
+    for (int64_t c = 0; c <= cend0; c++) {
+      Hbuf[c] = go + (c + 1) * ge;
+      Ebuf[c] = 2 * go + (c + 2) * ge;
+    }
+  }
+
+  for (int64_t r = 0; r < dlen; r++) {
+    int64_t cstart = r - wL > 0 ? r - wL : 0;
+    int64_t cend = r + wR < qlen - 1 ? r + wR : qlen - 1;
+    int64_t diag_boundary = r == 0 ? 0 : go + r * ge;
+    uint8_t dch = dseq[r];
+    uint8_t *dirrow = dirs + r * B;
+
+    int64_t T = cstart == 0 ? 2 * go + (r + 2) * ge : INF;
+    /* H[r-1][cstart-1]: fresh whenever cstart>0 (the band's left edge
+     * advances by exactly one column per row once it leaves 0) */
+    int64_t prev_H = cstart > 0 ? Hbuf[cstart - 1] : 0;
+    for (int64_t c = cstart; c <= cend; c++) {
+      int64_t diag_in = c == 0 ? diag_boundary : prev_H;
+      int64_t diag = diag_in + (dch == qseq[c] ? 0 : mismatch);
+      int64_t left = Ebuf[c];
+      int64_t pre = diag < left ? diag : left;
+      int64_t top = T;
+      int64_t newH = pre < top ? pre : top;
+
+      uint8_t bits = 0;
+      if (top < diag)
+        bits |= 1;
+      {
+        int64_t after_top = diag < top ? diag : top;
+        if (left <= after_top)
+          bits |= 2;
+      }
+      int64_t diag2 = newH + go + ge;
+      int64_t left2 = left + ge;
+      int64_t top2 = top + ge;
+      if (top2 < diag2)
+        bits |= 4;
+      if (left2 < diag2)
+        bits |= 8;
+      dirrow[c - cstart] = bits;
+
+      prev_H = Hbuf[c];
+      Hbuf[c] = newH;
+      Ebuf[c] = diag2 < left2 ? diag2 : left2;
+      int64_t open2 = pre + go + ge;
+      T = T + ge < open2 ? T + ge : open2;
+    }
+    /* the column that just left the band on the right never existed
+     * for this row; its Ebuf entry must not leak a stale value into
+     * row r+1's new right edge — new right columns are INF by init */
+  }
+
+  int64_t cstar = Hbuf[qlen - 1];
+  int64_t absF = F < 0 ? -F : F;
+  if (cstar >= go + ge * (2 * (w + 1) + absF))
+    return 0;
+
+  /* backtrack — same decision order as nw_align, banded dirs index */
+  int64_t column = qlen, row = dlen;
+  int64_t pos = qlen + dlen;
+  int64_t total = pos;
+  int64_t matches = 0;
+  char operation = 0;
+  while (column > 0 && row > 0) {
+    int64_t r1 = row - 1;
+    int64_t cstart = r1 - wL > 0 ? r1 - wL : 0;
+    int64_t j = (column - 1) - cstart;
+    if (j < 0 || j >= B)
+      return 0; /* defensive: cannot happen when the bound held */
+    uint8_t cell = dirs[r1 * B + j];
+    if (operation == 'I' && (cell & 8)) {
+      row--;
+      raw[--pos] = 'I';
+    } else if (operation == 'D' && (cell & 4)) {
+      column--;
+      raw[--pos] = 'D';
+    } else if (cell & 2) {
+      row--;
+      raw[--pos] = 'I';
+      operation = 'I';
+    } else if (cell & 1) {
+      column--;
+      raw[--pos] = 'D';
+      operation = 'D';
+    } else {
+      if (qseq[column - 1] == dseq[row - 1])
+        matches++;
+      column--;
+      row--;
+      raw[--pos] = 'M';
+      operation = 'M';
+    }
+  }
+  while (column > 0) {
+    column--;
+    raw[--pos] = 'D';
+  }
+  while (row > 0) {
+    row--;
+    raw[--pos] = 'I';
+  }
+
+  int64_t alen = total - pos;
+  out3[0] = alen - matches;
+  out3[1] = alen;
+
+  int64_t clen = 0;
+  int64_t i = pos;
+  while (i < total) {
+    char ch = raw[i];
+    int64_t cnt = 1;
+    while (i + cnt < total && raw[i + cnt] == ch)
+      cnt++;
+    if (cnt > 1)
+      clen += sprintf(cigar + clen, "%lld", (long long)cnt);
+    cigar[clen++] = ch;
+    i += cnt;
+  }
+  cigar[clen] = 0;
+  out3[2] = clen;
+  return 1;
+}
+
 /* ------------------------------------------------------------------ */
 /* output writers (reference src/algod1.cc:791-815, 1043-1062)         */
 /* ------------------------------------------------------------------ */
@@ -1297,8 +1456,18 @@ int64_t write_uclust_d1(
     for (int64_t m = bounds[s] + 1; m < bounds[s + 1]; m++) {
       int64_t amp = members[m];
       int64_t out3[3];
-      nw_align(codes + seq_off[amp], seq_len[amp], qseq, qlen, mismatch, go,
-               ge, dirs, Hbuf, Ebuf, raw, cigar, out3);
+      /* swarm members sit a few edits from their seed: a narrow banded
+       * DP (output-identical by the band-exit cost bound, see
+       * nw_align_banded) covers almost every pair; escalate, then fall
+       * back to the full matrix */
+      int done = 0;
+      for (int64_t bw = 8; !done && bw <= 32; bw *= 4)
+        done = nw_align_banded(codes + seq_off[amp], seq_len[amp], qseq,
+                               qlen, mismatch, go, ge, bw, dirs, Hbuf,
+                               Ebuf, raw, cigar, out3);
+      if (!done)
+        nw_align(codes + seq_off[amp], seq_len[amp], qseq, qlen, mismatch,
+                 go, ge, dirs, Hbuf, Ebuf, raw, cigar, out3);
       double percentid = 100.0 * (double)(out3[1] - out3[0]) / (double)out3[1];
       if (w + hdr_len[amp] + sid_len + out3[2] + 128 > out_cap)
         return -1;

@@ -529,7 +529,8 @@ def close_files(p: Parameters) -> None:
         if handle is not None:
             handle.flush()
             if getattr(handle, "buffer", None) not in (
-                sys.stdout.buffer,
-                sys.stderr.buffer,
+                getattr(sys.stdout, "buffer", None),
+                getattr(sys.stderr, "buffer", None),
+                None,
             ):
                 handle.close()

@@ -225,3 +225,49 @@ def test_d1_network_native_matches_numpy(seed, no_break):
     assert np.array_equal(ef_c, ef_py.astype(np.int64))
     assert np.array_equal(et_c, et_py.astype(np.int64))
     assert len(ef_c) > 0
+
+
+def test_nw_align_banded_matches_full():
+    """nw_align_banded must be byte-identical to nw_align whenever it
+    accepts (band-exit cost bound), across random pairs, near-identical
+    pairs, indel-heavy pairs and equal-cost tie shapes."""
+    from swarm_tpu import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(99)
+    n_accepted = 0
+    for trial in range(400):
+        L = int(rng.integers(10, 120))
+        a = rng.integers(0, 4, size=L).astype(np.uint8)
+        mode = trial % 4
+        if mode == 0:  # few substitutions
+            b = a.copy()
+            for _ in range(int(rng.integers(0, 4))):
+                b[rng.integers(0, len(b))] = rng.integers(0, 4)
+        elif mode == 1:  # indels
+            b = a.copy()
+            for _ in range(int(rng.integers(1, 5))):
+                if rng.random() < 0.5 and len(b) > 5:
+                    b = np.delete(b, rng.integers(0, len(b)))
+                else:
+                    b = np.insert(b, rng.integers(0, len(b) + 1),
+                                  rng.integers(0, 4))
+        elif mode == 2:  # unrelated
+            b = rng.integers(0, 4, size=int(rng.integers(10, 120))).astype(np.uint8)
+        else:  # repeat-heavy (gap placement ties)
+            a = np.repeat(rng.integers(0, 4, size=max(2, L // 8)),
+                          8)[:L].astype(np.uint8)
+            b = a.copy()
+            b = np.delete(b, rng.integers(0, len(b)))
+        for scores in ((4, 12, 4), (2, 3, 1), (5, 6, 3)):
+            want = _native.nw_align(b, a, *scores)
+            for band in (2, 8):
+                got = _native.nw_align_banded(b, a, *scores, band)
+                if got is not None:
+                    n_accepted += 1
+                    assert got == want, (trial, scores, band)
+    assert n_accepted > 300  # the band must actually accept often
