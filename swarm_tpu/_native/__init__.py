@@ -519,14 +519,13 @@ if lib is not None:
 
 def write_uclust_d1(db, arena: "HeaderArena", append_ab, usearch,
                     members, bounds, attached, swarm_seed, swarm_size,
-                    mismatch, gapopen, gapextend):
-    """uclust output for the d=1 no-graft path, or None on fallback."""
+                    mismatch, gapopen, gapextend, nthreads=1):
+    """uclust output for the d=1 no-graft path, or None on fallback.
+    nthreads > 1 renders per-swarm ranges on a pthread pool
+    (byte-identical: ranges concatenate in order with rebased cluster
+    numbering)."""
     longest = max(int(db.longest), 1)
-    dirs = np.empty(longest * longest, dtype=np.uint8)
-    H = np.empty(longest + 1, dtype=np.int64)
-    E = np.empty(longest + 1, dtype=np.int64)
-    raw = ctypes.create_string_buffer(2 * longest + 4)
-    cigar = ctypes.create_string_buffer(16 * longest + 32)
+    lib.write_uclust_d1_mt.restype = ctypes.c_int64
 
     members = np.ascontiguousarray(members, dtype=np.int64)
     bounds = np.ascontiguousarray(bounds, dtype=np.int64)
@@ -538,7 +537,7 @@ def write_uclust_d1(db, arena: "HeaderArena", append_ab, usearch,
     )
     while True:
         out = ctypes.create_string_buffer(cap)
-        w = lib.write_uclust_d1(
+        w = lib.write_uclust_d1_mt(
             _ptr(db.codes), _ptr(db.offsets), _ptr(db.lengths),
             _ptr(arena.arena), _ptr(arena.hdr_off), _ptr(arena.hdr_len),
             _ptr(arena.ab_start), _ptr(arena.ab_end), _ptr(arena.abundance),
@@ -547,12 +546,14 @@ def write_uclust_d1(db, arena: "HeaderArena", append_ab, usearch,
             _ptr(np.ascontiguousarray(attached, dtype=np.uint8)),
             ctypes.c_int64(len(bounds) - 1), _ptr(seeds_arr), _ptr(sizes_arr),
             ctypes.c_int64(mismatch), ctypes.c_int64(gapopen),
-            ctypes.c_int64(gapextend),
-            _ptr(dirs), _ptr(H), _ptr(E), raw, cigar,
+            ctypes.c_int64(gapextend), ctypes.c_int64(longest),
+            ctypes.c_int64(max(int(nthreads), 1)),
             out, ctypes.c_int64(cap),
         )
         if w == -2:
             return None
+        if w == -3:
+            raise MemoryError("write_uclust_d1_mt")
         if w < 0:
             cap *= 2
             continue
@@ -758,12 +759,14 @@ def algo_cluster(profiles, codes, offsets, lengths, abundances, d,
     }
 
 
-def d1_network(codes, offsets, lengths, abundances, no_break):
+def d1_network(codes, offsets, lengths, abundances, no_break, nthreads=1):
     """(edges_from, edges_to) for d=1 via the host variant-hash builder
-    (swarm_native.c: d1_network_native). Same contract as
-    ops/neighbors.py:build_network."""
+    (swarm_native.c: d1_network_native / _mt). Same contract as
+    ops/neighbors.py:build_network; nthreads > 1 partitions the probe
+    phase over a pthread pool (byte-identical output)."""
     n = len(offsets)
     lib.d1_network_native.restype = ctypes.c_int64
+    lib.d1_network_native_mt.restype = ctypes.c_int64
     cap = max(8 * n, 64)
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
@@ -772,11 +775,19 @@ def d1_network(codes, offsets, lengths, abundances, no_break):
     while True:
         ef = np.empty(cap, dtype=np.int64)
         et = np.empty(cap, dtype=np.int64)
-        cnt = lib.d1_network_native(
-            _ptr(codes), _ptr(offsets), _ptr(lengths), ctypes.c_int64(n),
-            _ptr(abundances), ctypes.c_int(1 if no_break else 0),
-            _ptr(ef), _ptr(et), ctypes.c_int64(cap),
-        )
+        if nthreads > 1:
+            cnt = lib.d1_network_native_mt(
+                _ptr(codes), _ptr(offsets), _ptr(lengths), ctypes.c_int64(n),
+                _ptr(abundances), ctypes.c_int(1 if no_break else 0),
+                ctypes.c_int64(nthreads),
+                _ptr(ef), _ptr(et), ctypes.c_int64(cap),
+            )
+        else:
+            cnt = lib.d1_network_native(
+                _ptr(codes), _ptr(offsets), _ptr(lengths), ctypes.c_int64(n),
+                _ptr(abundances), ctypes.c_int(1 if no_break else 0),
+                _ptr(ef), _ptr(et), ctypes.c_int64(cap),
+            )
         if cnt == -1:
             cap *= 2
             continue

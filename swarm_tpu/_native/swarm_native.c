@@ -1414,19 +1414,21 @@ int64_t d2_subseed_screen(const uint64_t *profiles, const int64_t *order,
 
 /* Returns bytes written or -1 when out_cap is insufficient. Scratch:
  * dirs >= longest^2, Hbuf/Ebuf >= longest, raw >= 2*longest+2,
- * cigar >= 8*2*longest+16. */
-int64_t write_uclust_d1(
+ * cigar >= 8*2*longest+16. cluster_base offsets the C/S/H cluster
+ * numbering (threaded ranges pass the count of non-attached swarms
+ * before their range). */
+int64_t write_uclust_d1_range(
     const uint8_t *codes, const int64_t *seq_off, const int64_t *seq_len,
     const uint8_t *hdr_arena, const int64_t *hdr_off, const int64_t *hdr_len,
     const int32_t *ab_start, const int32_t *ab_end, const int64_t *abundance,
     int64_t append_ab, int usearch,
     const int64_t *members, const int64_t *bounds, const uint8_t *attached,
     int64_t nswarms, const int64_t *swarm_seed, const int64_t *swarm_size,
-    int64_t mismatch, int64_t go, int64_t ge,
+    int64_t mismatch, int64_t go, int64_t ge, int64_t cluster_base,
     uint8_t *dirs, int64_t *Hbuf, int64_t *Ebuf, char *raw, char *cigar,
     char *out, int64_t out_cap) {
   int64_t w = 0;
-  int64_t cluster_no = 0;
+  int64_t cluster_no = cluster_base;
   char seed_id[1 << 16];
   for (int64_t s = 0; s < nswarms; s++) {
     if (attached[s])
@@ -1490,6 +1492,23 @@ int64_t write_uclust_d1(
     cluster_no++;
   }
   return w;
+}
+
+int64_t write_uclust_d1(
+    const uint8_t *codes, const int64_t *seq_off, const int64_t *seq_len,
+    const uint8_t *hdr_arena, const int64_t *hdr_off, const int64_t *hdr_len,
+    const int32_t *ab_start, const int32_t *ab_end, const int64_t *abundance,
+    int64_t append_ab, int usearch,
+    const int64_t *members, const int64_t *bounds, const uint8_t *attached,
+    int64_t nswarms, const int64_t *swarm_seed, const int64_t *swarm_size,
+    int64_t mismatch, int64_t go, int64_t ge,
+    uint8_t *dirs, int64_t *Hbuf, int64_t *Ebuf, char *raw, char *cigar,
+    char *out, int64_t out_cap) {
+  return write_uclust_d1_range(
+      codes, seq_off, seq_len, hdr_arena, hdr_off, hdr_len, ab_start, ab_end,
+      abundance, append_ab, usearch, members, bounds, attached, nswarms,
+      swarm_seed, swarm_size, mismatch, go, ge, 0, dirs, Hbuf, Ebuf, raw,
+      cigar, out, out_cap);
 }
 
 /* d=1 network dump (reference src/algod1.cc:755-788); the CSR edge
@@ -3538,4 +3557,411 @@ int64_t write_seeds_d1(
   free(ord);
   *n_written = k;
   return w;
+}
+
+/* ------------------------------------------------------------------ */
+/* threaded host tails: -t honored on the uclust writer and the d=1    */
+/* network probe phase (reference pthread-pool roles:                  */
+/* src/utils/threads.h:30-163, src/algod1.cc:641-669 and 852-934)      */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+  const uint8_t *codes;
+  const int64_t *seq_off, *seq_len;
+  const uint8_t *hdr_arena;
+  const int64_t *hdr_off, *hdr_len;
+  const int32_t *ab_start, *ab_end;
+  const int64_t *abundance;
+  int64_t append_ab;
+  int usearch;
+  const int64_t *members, *bounds;
+  const uint8_t *attached;
+  const int64_t *swarm_seed, *swarm_size;
+  int64_t mismatch, go, ge, longest;
+  int64_t s_begin, s_end, cluster_base;
+  char *out;
+  int64_t out_cap;
+  int64_t written; /* bytes, or -2 pathological header, -3 alloc */
+} uclust_task_t;
+
+static void *uclust_worker(void *arg) {
+  uclust_task_t *t = (uclust_task_t *)arg;
+  int64_t L = t->longest > 0 ? t->longest : 1;
+  uint8_t *dirs = (uint8_t *)malloc((size_t)(L * L));
+  int64_t *Hbuf = (int64_t *)malloc((size_t)(L + 1) * 8);
+  int64_t *Ebuf = (int64_t *)malloc((size_t)(L + 1) * 8);
+  char *raw = (char *)malloc((size_t)(2 * L + 4));
+  char *cigar = (char *)malloc((size_t)(16 * L + 32));
+  if (!dirs || !Hbuf || !Ebuf || !raw || !cigar) {
+    free(dirs); free(Hbuf); free(Ebuf); free(raw); free(cigar);
+    t->written = -3;
+    return NULL;
+  }
+  for (;;) {
+    int64_t w = write_uclust_d1_range(
+        t->codes, t->seq_off, t->seq_len, t->hdr_arena, t->hdr_off,
+        t->hdr_len, t->ab_start, t->ab_end, t->abundance, t->append_ab,
+        t->usearch, t->members, t->bounds + t->s_begin,
+        t->attached + t->s_begin, t->s_end - t->s_begin,
+        t->swarm_seed + t->s_begin, t->swarm_size + t->s_begin,
+        t->mismatch, t->go, t->ge, t->cluster_base,
+        dirs, Hbuf, Ebuf, raw, cigar, t->out, t->out_cap);
+    if (w == -1) {
+      int64_t nc = t->out_cap * 2;
+      char *nb = (char *)realloc(t->out, (size_t)nc);
+      if (nb == NULL) {
+        t->written = -3;
+        break;
+      }
+      t->out = nb;
+      t->out_cap = nc;
+      continue;
+    }
+    t->written = w;
+    break;
+  }
+  free(dirs); free(Hbuf); free(Ebuf); free(raw); free(cigar);
+  return NULL;
+}
+
+/* Byte-identical to the single-thread writer for every nthreads:
+ * contiguous swarm ranges balanced by member count, per-range cluster
+ * numbering rebased by the count of preceding non-attached swarms,
+ * buffers concatenated in range order. Returns bytes written, or
+ * -1 when out_cap is too small (caller doubles), -2 on pathological
+ * headers (caller falls back to the Python writer), -3 on alloc
+ * failure. */
+int64_t write_uclust_d1_mt(
+    const uint8_t *codes, const int64_t *seq_off, const int64_t *seq_len,
+    const uint8_t *hdr_arena, const int64_t *hdr_off, const int64_t *hdr_len,
+    const int32_t *ab_start, const int32_t *ab_end, const int64_t *abundance,
+    int64_t append_ab, int usearch,
+    const int64_t *members, const int64_t *bounds, const uint8_t *attached,
+    int64_t nswarms, const int64_t *swarm_seed, const int64_t *swarm_size,
+    int64_t mismatch, int64_t go, int64_t ge, int64_t longest,
+    int64_t nthreads, char *out, int64_t out_cap) {
+  if (nthreads < 1)
+    nthreads = 1;
+  if (nthreads > 64)
+    nthreads = 64;
+  if (nthreads > nswarms)
+    nthreads = nswarms > 0 ? nswarms : 1;
+
+  /* contiguous ranges balanced by member count */
+  int64_t total_members = nswarms > 0 ? bounds[nswarms] - bounds[0] : 0;
+  uclust_task_t tasks[64];
+  pthread_t tids[64];
+  int64_t s = 0;
+  int64_t cluster_base = 0;
+  for (int64_t t = 0; t < nthreads; t++) {
+    int64_t target = bounds[0] + (total_members * (t + 1)) / nthreads;
+    int64_t e = s;
+    while (e < nswarms && (bounds[e] < target || e == s))
+      e++;
+    if (t == nthreads - 1)
+      e = nswarms;
+    uclust_task_t *tk = &tasks[t];
+    tk->codes = codes; tk->seq_off = seq_off; tk->seq_len = seq_len;
+    tk->hdr_arena = hdr_arena; tk->hdr_off = hdr_off; tk->hdr_len = hdr_len;
+    tk->ab_start = ab_start; tk->ab_end = ab_end; tk->abundance = abundance;
+    tk->append_ab = append_ab; tk->usearch = usearch;
+    tk->members = members; tk->bounds = bounds; tk->attached = attached;
+    tk->swarm_seed = swarm_seed; tk->swarm_size = swarm_size;
+    tk->mismatch = mismatch; tk->go = go; tk->ge = ge; tk->longest = longest;
+    tk->s_begin = s; tk->s_end = e; tk->cluster_base = cluster_base;
+    int64_t range_members = e > s ? bounds[e] - bounds[s] : 0;
+    tk->out_cap = 256 + range_members * (128 + 3 * longest);
+    tk->out = (char *)malloc((size_t)tk->out_cap);
+    tk->written = tk->out ? 0 : -3;
+    for (int64_t x = s; x < e; x++)
+      if (!attached[x])
+        cluster_base++;
+    s = e;
+  }
+
+  for (int64_t t = 0; t < nthreads; t++) {
+    if (tasks[t].written == -3)
+      continue;
+    if (t < nthreads - 1) {
+      if (pthread_create(&tids[t], NULL, uclust_worker, &tasks[t]) != 0)
+        uclust_worker(&tasks[t]); /* degrade to inline */
+      else
+        continue;
+      tids[t] = pthread_self(); /* mark as not-joinable */
+    } else {
+      uclust_worker(&tasks[t]);
+    }
+  }
+  for (int64_t t = 0; t < nthreads - 1; t++)
+    if (tasks[t].written != -3 && !pthread_equal(tids[t], pthread_self()))
+      pthread_join(tids[t], NULL);
+
+  int64_t total = 0;
+  int64_t err = 0;
+  for (int64_t t = 0; t < nthreads; t++) {
+    if (tasks[t].written < 0)
+      err = tasks[t].written;
+    else
+      total += tasks[t].written;
+  }
+  if (!err && total > out_cap)
+    err = -1;
+  if (!err) {
+    int64_t w = 0;
+    for (int64_t t = 0; t < nthreads; t++) {
+      memcpy(out + w, tasks[t].out, (size_t)tasks[t].written);
+      w += tasks[t].written;
+    }
+  }
+  for (int64_t t = 0; t < nthreads; t++)
+    free(tasks[t].out);
+  return err ? err : total;
+}
+
+/* threaded d=1 probe phase: the table/bitset build stays serial (it is
+ * a small fraction of the work), the 4L-probes-per-amplicon scan is
+ * partitioned over contiguous amplicon ranges with private pair
+ * buffers, then pairs are merged before the shared dedup/expand tail */
+typedef struct {
+  const uint8_t *arena;
+  const int64_t *offsets, *lengths;
+  int64_t a0, a1, maxlen, cap_tab;
+  const uint64_t *seqhash;
+  const int64_t *slots;
+  const uint64_t *bset;
+  uint64_t bmask;
+  uint64_t *pairs;
+  int64_t n_pairs, pair_cap;
+  int rc;
+} d1probe_task_t;
+
+static void *d1probe_worker(void *arg) {
+  d1probe_task_t *t = (d1probe_task_t *)arg;
+  uint64_t *pre = (uint64_t *)malloc((size_t)(t->maxlen + 1) * 8);
+  uint64_t *sufshift = (uint64_t *)malloc((size_t)(t->maxlen + 1) * 8);
+  if (!pre || !sufshift) {
+    free(pre); free(sufshift);
+    t->rc = -2;
+    return NULL;
+  }
+  for (int64_t a = t->a0; a < t->a1 && t->rc == 0; a++) {
+    const uint8_t *s = t->arena + t->offsets[a];
+    const int64_t L = t->lengths[a];
+    const uint64_t full = t->seqhash[a];
+    pre[0] = 0;
+    for (int64_t p = 0; p < L; p++)
+      pre[p + 1] = pre[p] ^ zpos(p, s[p]);
+    sufshift[L] = 0;
+    for (int64_t p = L - 1; p >= 1; p--)
+      sufshift[p] = sufshift[p + 1] ^ zpos(p - 1, s[p]);
+
+    for (int64_t p = 0; p <= L; p++) {
+      uint64_t hv_del = 0;
+      int have_del = 0;
+      if (p < L && L > 1) {
+        hv_del = pre[p] ^ sufshift[p + 1];
+        have_del = 1;
+      }
+      for (int v = 0; v < 4; v++) {
+        uint64_t hv;
+        if (v < 3) {
+          if (p >= L)
+            continue;
+          int oc = s[p];
+          int c = oc + 1 + v;
+          if (c > 4)
+            c -= 4;
+          hv = full ^ zpos(p, oc) ^ zpos(p, c);
+        } else {
+          if (!have_del)
+            continue;
+          hv = hv_del;
+        }
+        uint64_t hb = hv & t->bmask;
+        if (!((t->bset[hb >> 6] >> (hb & 63)) & 1))
+          continue;
+        uint64_t slot = hv & (uint64_t)(t->cap_tab - 1);
+        while (t->slots[slot] >= 0) {
+          int64_t b = t->slots[slot];
+          slot = (slot + 1) & (uint64_t)(t->cap_tab - 1);
+          if (b == a || t->seqhash[b] != hv)
+            continue;
+          if (!dist1_check(s, L, t->arena + t->offsets[b], t->lengths[b]))
+            continue;
+          uint64_t key = a < b ? ((uint64_t)a << 32) | (uint64_t)b
+                               : ((uint64_t)b << 32) | (uint64_t)a;
+          if (t->n_pairs >= t->pair_cap) {
+            int64_t nc2 = t->pair_cap * 2;
+            uint64_t *np_ = (uint64_t *)realloc(t->pairs, (size_t)nc2 * 8);
+            if (np_ == NULL) {
+              t->rc = -2;
+              break;
+            }
+            t->pairs = np_;
+            t->pair_cap = nc2;
+          }
+          t->pairs[t->n_pairs++] = key;
+        }
+        if (t->rc != 0)
+          break;
+      }
+      if (t->rc != 0)
+        break;
+    }
+  }
+  free(pre);
+  free(sufshift);
+  return NULL;
+}
+
+int64_t d1_network_native_mt(const uint8_t *arena, const int64_t *offsets,
+                             const int64_t *lengths, int64_t n,
+                             const int64_t *abundances, int no_break,
+                             int64_t nthreads, int64_t *ef_out,
+                             int64_t *et_out, int64_t cap_out) {
+  if (n == 0)
+    return 0;
+  if (nthreads < 1)
+    nthreads = 1;
+  if (nthreads > 64)
+    nthreads = 64;
+  if (nthreads > n)
+    nthreads = n;
+
+  int64_t maxlen = 1;
+  for (int64_t i = 0; i < n; i++)
+    if (lengths[i] > maxlen)
+      maxlen = lengths[i];
+
+  uint64_t *seqhash = (uint64_t *)malloc((size_t)n * 8);
+  int64_t cap_tab = 1;
+  while (cap_tab < 2 * n)
+    cap_tab <<= 1;
+  int64_t bset_bits = 1;
+  while (bset_bits < 8 * n)
+    bset_bits <<= 1;
+  uint64_t bmask = (uint64_t)(bset_bits - 1);
+  uint64_t *bset = (uint64_t *)calloc((size_t)(bset_bits >> 6) + 1, 8);
+  int64_t *slots = (int64_t *)malloc((size_t)cap_tab * 8);
+  if (seqhash == NULL || slots == NULL || bset == NULL) {
+    free(seqhash); free(slots); free(bset);
+    return -2;
+  }
+  for (int64_t i = 0; i < cap_tab; i++)
+    slots[i] = -1;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t *s = arena + offsets[i];
+    uint64_t h = 0;
+    for (int64_t p = 0; p < lengths[i]; p++)
+      h ^= zpos(p, s[p]);
+    seqhash[i] = h;
+    uint64_t slot = h & (uint64_t)(cap_tab - 1);
+    while (slots[slot] >= 0)
+      slot = (slot + 1) & (uint64_t)(cap_tab - 1);
+    slots[slot] = i;
+    uint64_t hb = h & bmask;
+    bset[hb >> 6] |= 1ULL << (hb & 63);
+  }
+
+  d1probe_task_t tasks[64];
+  pthread_t tids[64];
+  int created[64];
+  for (int64_t t = 0; t < nthreads; t++) {
+    d1probe_task_t *tk = &tasks[t];
+    tk->arena = arena; tk->offsets = offsets; tk->lengths = lengths;
+    tk->a0 = (n * t) / nthreads;
+    tk->a1 = (n * (t + 1)) / nthreads;
+    tk->maxlen = maxlen; tk->cap_tab = cap_tab;
+    tk->seqhash = seqhash; tk->slots = slots;
+    tk->bset = bset; tk->bmask = bmask;
+    tk->pair_cap = 4 * (tk->a1 - tk->a0) + 64;
+    tk->pairs = (uint64_t *)malloc((size_t)tk->pair_cap * 8);
+    tk->n_pairs = 0;
+    tk->rc = tk->pairs ? 0 : -2;
+    created[t] = 0;
+    if (tk->rc != 0)
+      continue;
+    if (t < nthreads - 1 &&
+        pthread_create(&tids[t], NULL, d1probe_worker, tk) == 0)
+      created[t] = 1;
+    else
+      d1probe_worker(tk);
+  }
+  for (int64_t t = 0; t < nthreads; t++)
+    if (created[t])
+      pthread_join(tids[t], NULL);
+  free(slots);
+  free(seqhash);
+  free(bset);
+
+  int64_t n_pairs = 0;
+  int rc = 0;
+  for (int64_t t = 0; t < nthreads; t++) {
+    if (tasks[t].rc != 0)
+      rc = tasks[t].rc;
+    n_pairs += tasks[t].n_pairs;
+  }
+  uint64_t *pairs = (uint64_t *)malloc((size_t)(n_pairs > 0 ? n_pairs : 1) * 8);
+  if (pairs == NULL)
+    rc = -2;
+  if (rc == 0) {
+    int64_t w = 0;
+    for (int64_t t = 0; t < nthreads; t++) {
+      memcpy(pairs + w, tasks[t].pairs, (size_t)tasks[t].n_pairs * 8);
+      w += tasks[t].n_pairs;
+    }
+  }
+  for (int64_t t = 0; t < nthreads; t++)
+    free(tasks[t].pairs);
+  if (rc != 0) {
+    free(pairs);
+    return rc;
+  }
+
+  int cmp_u64(const void *x, const void *y);
+  qsort(pairs, (size_t)n_pairs, 8, cmp_u64);
+  int64_t m = 0;
+  for (int64_t i = 0; i < n_pairs; i++)
+    if (i == 0 || pairs[i] != pairs[i - 1])
+      pairs[m++] = pairs[i];
+
+  int64_t cnt = 0;
+  for (int64_t i = 0; i < m; i++) {
+    int64_t lo = (int64_t)(pairs[i] >> 32);
+    int64_t hi = (int64_t)(pairs[i] & 0xFFFFFFFFULL);
+    if (no_break || abundances[lo] >= abundances[hi]) {
+      if (cnt >= cap_out) {
+        free(pairs);
+        return -1;
+      }
+      ef_out[cnt] = lo;
+      et_out[cnt] = hi;
+      cnt++;
+    }
+    if (no_break || abundances[hi] >= abundances[lo]) {
+      if (cnt >= cap_out) {
+        free(pairs);
+        return -1;
+      }
+      ef_out[cnt] = hi;
+      et_out[cnt] = lo;
+      cnt++;
+    }
+  }
+  free(pairs);
+  /* pairs are (lo, hi)-sorted; the ordered expansion emits both
+   * directions in lo-major order, so a final (from, to) sort is needed
+   * exactly as in d1_network_native */
+  uint64_t *packed = (uint64_t *)malloc((size_t)(cnt > 0 ? cnt : 1) * 8);
+  if (packed == NULL)
+    return -2;
+  for (int64_t i = 0; i < cnt; i++)
+    packed[i] = ((uint64_t)ef_out[i] << 32) | (uint64_t)et_out[i];
+  qsort(packed, (size_t)cnt, 8, cmp_u64);
+  for (int64_t i = 0; i < cnt; i++) {
+    ef_out[i] = (int64_t)(packed[i] >> 32);
+    et_out[i] = (int64_t)(packed[i] & 0xFFFFFFFFULL);
+  }
+  free(packed);
+  return cnt;
 }

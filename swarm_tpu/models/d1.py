@@ -89,7 +89,7 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
 
     # start the device upload before the host-side hashing phase (the
     # transfer is asynchronous and rides under it)
-    index = NeighborIndex(db)
+    index = NeighborIndex(db, threads=p.opt_threads)
     index.prefetch()
 
     progress.init("Hashing sequences:", n)
@@ -765,6 +765,7 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
             db, arena, aa, ua, st.flat_members, st.flat_bounds, attached_u8,
             st.swarm_seed, st.swarm_size,
             p.penalty_mismatch, p.penalty_gapopen, p.penalty_gapextend,
+            nthreads=p.opt_threads,
         )
         if blob is not None:
             p.uclustfile.write(blob.decode("latin-1"))

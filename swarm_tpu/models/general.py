@@ -67,7 +67,7 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
         progress.init("Find qgram vects: ", n)
         from ..ops.d2_network import D2NetworkEngine
 
-        eng = D2NetworkEngine(db, d)
+        eng = D2NetworkEngine(db, d, threads=p.opt_threads)
         from ..progress import replay_range
 
         replay_range(progress, n)

@@ -137,11 +137,12 @@ class D2NetworkEngine:
 
     TILE = 4096
 
-    def __init__(self, db, d: int):
+    def __init__(self, db, d: int, threads: int = 1):
         from .. import _native
 
         self.db = db
         self.d = int(d)
+        self.threads = max(int(threads), 1)
         self.n = len(db)
         # tests shrink the tile to exercise the multi-tile scan cheaply
         self.TILE = int(os.environ.get("SWARM_TPU_D2_TILE", self.TILE))
@@ -205,6 +206,7 @@ class D2NetworkEngine:
         diff_ab, diff_ba = _native.d2_diffs_pairs(
             db.codes, db.offsets, db.lengths, db.abundances, pa, pb,
             self.d, mismatch, gapopen, gapextend, no_break,
+            nthreads=self.threads,
         )
         keep_ab = diff_ab >= 0
         keep_ba = diff_ba >= 0

@@ -238,7 +238,7 @@ class NeighborIndex:
     # its compile + transfer cost (measured on v5e; tunable via env)
     AUTO_DEVICE_THRESHOLD = 20_000_000
 
-    def __init__(self, db, backend: str = "auto"):
+    def __init__(self, db, backend: str = "auto", threads: int = 1):
         import os
 
         self.db = db
@@ -246,6 +246,7 @@ class NeighborIndex:
         self.max_len = max(int(db.longest), 1)
         self.lengths = db.lengths.astype(np.int64)
         self.backend = os.environ.get("SWARM_TPU_BACKEND", backend)
+        self.threads = max(int(threads), 1)
         self._engine = None
         self._padded = None
         self._zob = None
@@ -319,6 +320,7 @@ class NeighborIndex:
             return _native.d1_network(
                 self.db.codes, self.db.offsets, self.db.lengths,
                 np.asarray(abundances, dtype=np.int64), no_break,
+                nthreads=self.threads,
             )
         if backend == "jax":
             from .neighbors_sortjoin import (
