@@ -112,6 +112,34 @@ def main():
             np.all(sb[~near] > cutoff)
         )
 
+    # roofline context: the DP kernels are VPU-bound (no matmuls, and
+    # per-cell state lives in VMEM/vector registers, so HBM traffic per
+    # cell is negligible — the binding resource is vector-ALU issue).
+    # ops/cell counts the kernel's vector instructions per DP cell
+    # (H = min(diag+sub, E, F) plus the two affine-gap updates ~= 10);
+    # the VPU peak is parameterizable (default: TPU v5e, 8x128 lanes x
+    # 4 ALUs at ~0.94 GHz ~= 3.85e12 int32 ops/s). pct_of_roofline
+    # reads as "fraction of the chip's vector issue this kernel turns
+    # into DP cells"; the banded kernel's structural ceiling is also
+    # reported — it maps the band to the 128-lane axis, so lane
+    # occupancy is (2*band+1)/128 regardless of issue efficiency.
+    OPS_PER_CELL = 10.0
+    vpu_peak = float(os.environ.get("SWARM_TPU_VPU_PEAK_OPS", "3.85e12"))
+    results["roofline"] = {
+        "ops_per_cell_est": OPS_PER_CELL,
+        "vpu_peak_ops_per_s": vpu_peak,
+        "hbm_bytes_per_cell": 0.0,
+    }
+    for k in ("xla_scan", "pallas_full", "pallas_band"):
+        g = results.get(f"{k}_gcells")
+        if g is not None:
+            results["roofline"][f"{k}_pct_of_roofline"] = round(
+                100.0 * g * 1e9 * OPS_PER_CELL / vpu_peak, 2
+            )
+    results["roofline"]["band_lane_occupancy_pct"] = round(
+        100.0 * (2 * band + 1) / 128.0, 1
+    )
+
     print(json.dumps({
         "metric": "pallas_band_gcells",
         "value": results.get("pallas_band_gcells"),

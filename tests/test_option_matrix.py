@@ -1,0 +1,138 @@
+"""Option-interaction parity matrix (man/swarm.1 behaviors).
+
+Parametrized black-box coverage of option interactions and boundary
+values against the reference binary, extending the per-feature suites:
+-z with -r/-f/-a, the -c ceiling boundary values (40 MB is the
+smallest accepted ceiling, 2^30 the documented extreme), -y bloom-bit
+extremes, -b extremes, -d boundary resolutions and alignment-penalty
+extremes for the d>1 engines.
+"""
+
+import pytest
+
+from genfasta import amplicon_cloud
+
+OUTS = ["-o", "out.txt", "-s", "stats.txt", "-l", "log.txt"]
+FULL = OUTS + ["-u", "uclust.txt", "-i", "structure.txt", "-w", "seeds.fasta"]
+
+
+def _fasta(seed=50, usearch=False, **kw):
+    kw.setdefault("n_centers", 5)
+    kw.setdefault("cloud_size", 14)
+    kw.setdefault("length", 60)
+    kw.setdefault("max_edits", 3)
+    return amplicon_cloud(seed=seed, usearch=usearch, **kw)
+
+
+# --- -z interactions -------------------------------------------------
+
+def test_z_with_mothur(both):
+    both.compare(["-z", "-r", "-o", "out.txt", "-l", "log.txt"],
+                 _fasta(seed=51, usearch=True))
+
+
+def test_z_with_fastidious_full(both):
+    both.compare(["-z", "-f"] + FULL, _fasta(seed=52, usearch=True))
+
+
+def test_z_with_append_abundance(both):
+    # headers missing annotations + -a + -z: the appended value must be
+    # emitted in usearch syntax
+    recs = _fasta(seed=53, usearch=True).splitlines(keepends=True)
+    # strip the annotation from every third record
+    out = []
+    for i, line in enumerate(recs):
+        if line.startswith(">") and (i // 2) % 3 == 0:
+            out.append(line.split(";size=")[0] + "\n")
+        else:
+            out.append(line)
+    both.compare(["-z", "-a", "7"] + FULL, "".join(out))
+
+
+def test_z_with_d2(both):
+    both.compare(["-z", "-d", "2"] + FULL, _fasta(seed=54, usearch=True))
+
+
+# --- ceiling / bloom boundary values (-f) ----------------------------
+
+@pytest.mark.parametrize("ceiling", ["40", "41", "1073741824"])
+def test_fastidious_ceiling_bounds(both, ceiling):
+    both.compare(["-f", "-c", ceiling] + OUTS, _fasta(seed=55))
+
+
+@pytest.mark.parametrize("bits", ["2", "3", "64"])
+def test_fastidious_bloom_bits_bounds(both, bits):
+    both.compare(["-f", "-y", bits] + OUTS, _fasta(seed=56))
+
+
+@pytest.mark.parametrize("boundary", ["2", "1000000000"])
+def test_fastidious_boundary_bounds(both, boundary):
+    both.compare(["-f", "-b", boundary] + OUTS, _fasta(seed=57))
+
+
+def test_fastidious_ceiling_39_rejected(both):
+    both.compare(["-f", "-c", "39"] + OUTS, _fasta(seed=58))
+
+
+# --- resolution boundaries ------------------------------------------
+
+def test_d255(both):
+    # maximum accepted resolution: 16-bit kernel, everything links
+    both.compare(["-d", "255", "-o", "out.txt", "-s", "stats.txt"],
+                 _fasta(seed=59, n_centers=3, cloud_size=8, length=40))
+
+
+def test_d256_rejected(both):
+    both.compare(["-d", "256", "-o", "out.txt"], _fasta(seed=60))
+
+
+@pytest.mark.parametrize(
+    "scores",
+    [
+        ["-m", "1", "-p", "1", "-g", "1", "-e", "1"],
+        ["-m", "120", "-p", "100", "-g", "100", "-e", "70"],
+        ["-m", "5", "-p", "30", "-g", "1", "-e", "1"],  # gaps cheap
+    ],
+)
+def test_d2_score_extremes(both, scores):
+    both.compare(["-d", "2"] + scores + FULL,
+                 _fasta(seed=61, n_centers=4, cloud_size=10, length=50))
+
+
+# --- long sequences at d=1 ------------------------------------------
+
+def test_d1_long_sequences(both):
+    # multi-kilobase sequences through the d=1 microvariant engine
+    import numpy as np
+
+    rng = np.random.default_rng(62)
+    base = rng.integers(0, 4, size=5000)
+    recs = []
+    seen = set()
+    for i in range(12):
+        v = base.copy()
+        for _ in range(int(rng.integers(0, 3))):
+            p = int(rng.integers(0, len(v)))
+            v[p] = (v[p] + 1 + rng.integers(0, 3)) % 4
+        key = v.tobytes()
+        if key in seen:
+            continue
+        seen.add(key)
+        recs.append(
+            f">L{i}_{int(rng.integers(1, 50))}\n"
+            + "".join("ACGT"[c] for c in v) + "\n"
+        )
+    both.compare(["-d", "1"] + FULL, "".join(recs))
+
+
+# --- output-target interactions -------------------------------------
+
+def test_all_outputs_to_stdout_conflict(both):
+    # two streams on '-' both write to stdout interleaved by phase
+    both.compare(["-o", "-", "-s", "stats.txt", "-l", "log.txt"],
+                 _fasta(seed=63))
+
+
+def test_mothur_with_statistics_and_seeds(both):
+    both.compare(["-r", "-o", "out.txt", "-s", "stats.txt",
+                  "-w", "seeds.fasta", "-l", "log.txt"], _fasta(seed=64))
