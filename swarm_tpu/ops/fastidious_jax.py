@@ -358,10 +358,17 @@ class GraftEngine:
                 jnp.asarray(ids_np),
             )
 
+        fused = os.environ.get("SWARM_TPU_GRAFT", "split") == "fused"
         t0 = time.perf_counter()
-        s_hi, s_lo, ids_small = side_keys(small, padded_rows(len(small)))
-        _ = _np.asarray(s_hi[:1])
-        t0 = _t("small-side keys", t0)
+        rows_small = padded_rows(len(small))
+        if fused:
+            ids_small_np = np.full(rows_small, -1, dtype=np.int32)
+            ids_small_np[: len(small)] = small
+            ids_small = jnp.asarray(ids_small_np)
+        else:
+            s_hi, s_lo, ids_small = side_keys(small, rows_small)
+            _ = _np.asarray(s_hi[:1])
+            t0 = _t("small-side keys", t0)
 
         total = 0
         graft_cand = np.full(self.n, -1, dtype=np.int64)
@@ -371,9 +378,23 @@ class GraftEngine:
         cap = 1 << 17
         for start in range(0, len(big), strip_rows):
             sel = big[start : start + strip_rows]
-            b_hi, b_lo, ids_big = side_keys(sel, strip_rows)
-            srt_hi, srt_lo, srt_idx = graft_sort3(s_hi, s_lo, b_hi, b_lo)
-            del b_hi, b_lo
+            if fused:
+                ids_big_np = np.full(strip_rows, -1, dtype=np.int32)
+                ids_big_np[: len(sel)] = sel
+                srt_hi, srt_lo, srt_idx, sent = graft_keys_sorted_fused(
+                    self.padded, self.lengths, self.zob,
+                    jnp.asarray(ids_small_np.reshape(-1, C)),
+                    jnp.asarray(ids_big_np.reshape(-1, C)),
+                    chunk_rows=C, n_small=rows_small, n_big=strip_rows,
+                    lcap=lcap,
+                )
+                ids_big = jnp.asarray(ids_big_np)
+                if int(sent) > 0:
+                    raise RuntimeError("sentinel collision in graft join")
+            else:
+                b_hi, b_lo, ids_big = side_keys(sel, strip_rows)
+                srt_hi, srt_lo, srt_idx = graft_sort3(s_hi, s_lo, b_hi, b_lo)
+                del b_hi, b_lo
             t0 = _t("strip keygen+sort", t0)
             while True:
                 h_amp, l_amp, good, n_flagged, n_pairs, over = graft_pairs3(
@@ -651,3 +672,56 @@ def graft_pairs3(
     h_amp = jnp.where(a_is_heavy, a_amp, b_amp)
     l_amp = jnp.where(a_is_heavy, b_amp, a_amp)
     return h_amp, l_amp, good, n_flagged, n_pairs, overflow_run
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk_rows", "n_small", "n_big", "lcap"),
+)
+def graft_keys_sorted_fused(
+    padded, lengths, zob, ids_small_2d, ids_big_2d,
+    chunk_rows, n_small, n_big, lcap,
+):
+    """ONE dispatch for a whole strip: variant keygen for both sides
+    (lax.map over row chunks bounds the [C, 7*lcap+4] intermediates)
+    fused with the global sort. Returns (s_hi, s_lo, s_idx,
+    sentinel_hits) — the exact inputs graft_pairs3 takes — so the
+    per-dispatch relay round trip (~0.5-1 s each on relay-attached
+    TPUs) is paid once per strip instead of once per 32k-row chunk.
+    ids_*_2d: [K, chunk_rows] int32 (-1 pad)."""
+    W = padded.shape[1]
+    S = 7 * lcap + 4
+
+    def keys_of(ids):
+        rows = padded[jnp.maximum(ids, 0)]
+        lens = jnp.where(ids >= 0, lengths[jnp.maximum(ids, 0)], 0)
+        (h_hi, h_lo), _, valid = variant_hash_halves(rows, lens, zob)
+        C = h_hi.shape[0]
+
+        def trunc(x):
+            return jnp.concatenate(
+                [
+                    x[:, : 7 * W].reshape(C, 7, W)[:, :, :lcap].reshape(
+                        C, 7 * lcap
+                    ),
+                    x[:, 7 * W :],
+                ],
+                axis=1,
+            )
+
+        h_hi, h_lo, valid = trunc(h_hi), trunc(h_lo), trunc(valid)
+        valid = valid & (ids[:, None] >= 0)
+        sent = jnp.sum(
+            valid & (h_hi == _SENT32) & (h_lo == _SENT32), dtype=jnp.int32
+        )
+        hi = jnp.where(valid, h_hi, _SENT32)
+        lo = jnp.where(valid, h_lo, _SENT32)
+        return hi.reshape(-1), lo.reshape(-1), sent
+
+    s_hi, s_lo, s_sent = jax.lax.map(keys_of, ids_small_2d)
+    b_hi, b_lo, b_sent = jax.lax.map(keys_of, ids_big_2d)
+    k_hi = jnp.concatenate([s_hi.reshape(-1), b_hi.reshape(-1)])
+    k_lo = jnp.concatenate([s_lo.reshape(-1), b_lo.reshape(-1)])
+    idx = jax.lax.iota(jnp.int32, n_small * S + n_big * S)
+    o_hi, o_lo, o_idx = jax.lax.sort((k_hi, k_lo, idx), num_keys=2)
+    return o_hi, o_lo, o_idx, jnp.sum(s_sent) + jnp.sum(b_sent)

@@ -148,8 +148,8 @@ def prepare_network(packed, lengths, zob, width):
     return padded, keys_hi.reshape(-1), keys_lo.reshape(-1), owner.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("width", "cap", "cap2", "window"))
-def network_pairs(packed, lengths, zob, width, cap, cap2, window):
+@partial(jax.jit, static_argnames=("width", "lcap", "cap", "cap2", "window"))
+def network_pairs(packed, lengths, zob, width, lcap, cap, cap2, window):
     """Fused join WITHOUT verification: packed codes in, unique candidate
     pairs out.
 
@@ -158,9 +158,16 @@ def network_pairs(packed, lengths, zob, width, cap, cap2, window):
     relay-attached TPUs, so each program must emit only O(pairs) data,
     while device-resident INPUTS (packed) are free to re-pass. A single
     fully-fused program exceeds the AOT compiler's memory.
+
+    lcap (real length cap, 16-bucketed) trims the slot axis below the
+    tile-aligned width: at 150 nt / width 192 that is ~17% fewer hash
+    scans AND ~17% fewer sort keys — every slot beyond lcap is padding
+    and can never hold a valid deletion key.
     """
     padded = unpack2bit_device(packed, width)
-    (keys_hi, keys_lo), valid = deletion_keys_device(padded, lengths, zob)
+    (keys_hi, keys_lo), valid = deletion_keys_device(
+        padded[:, :lcap], lengths, zob
+    )
     n = padded.shape[0]
     owner = jnp.where(valid, jnp.arange(n, dtype=jnp.int32)[:, None], -1)
     return join_pairs(
@@ -367,6 +374,9 @@ class SortJoinNeighborEngine:
         self.n = n
         max_len = max(int(db.longest), 1)
         self.width = _round_up(max_len, 64)
+        # slot-axis cap: the real length ceiling, 16-bucketed — slots
+        # beyond it are tile padding and generate no valid keys
+        self.lcap = min(_round_up(max_len, 16), self.width)
         self.n_pad = _row_bucket(max(n, 1))
         padded = np.zeros((self.n_pad, self.width), dtype=np.uint8)
         padded[:n] = pad_codes(db.codes, db.offsets, db.lengths, self.width)
@@ -391,7 +401,7 @@ class SortJoinNeighborEngine:
 
         packed, lengths = self._device_arrays()
 
-        shape_key = (self.n_pad, self.width)
+        shape_key = (self.n_pad, self.width, self.lcap)
         cap = 1 << max(14, (n - 1).bit_length())  # ~n flagged keys typical
         cap2 = cap
         window = 8
@@ -403,7 +413,7 @@ class SortJoinNeighborEngine:
         while True:
             pa, pb, n_flagged, n_pairs, over, sentinel_hits = network_pairs(
                 packed, lengths, self.zob, width=self.width,
-                cap=cap, cap2=cap2, window=window,
+                lcap=self.lcap, cap=cap, cap2=cap2, window=window,
             )
             if int(sentinel_hits) > 0:
                 raise SentinelCollision(

@@ -47,3 +47,19 @@ def test_sortjoin_matches_chunked(tmp_path):
 
     m = re.search(rb"Made (\d+) grafts", r_new.stderr)
     assert m and int(m.group(1)) > 0, r_new.stderr[-400:]
+
+
+def test_fused_matches_split(tmp_path):
+    """The one-dispatch fused keygen+sort strip path must match the
+    split (keygen programs + sort program) path byte-for-byte."""
+    fasta = amplicon_cloud(seed=778, n_centers=10, cloud_size=30,
+                           length=60, max_edits=4, max_abundance=6)
+    d_new, r_new = _run(tmp_path, "fused", fasta, "fused")
+    d_old, r_old = _run(tmp_path, "split", fasta, None)
+    assert r_new.stderr == r_old.stderr
+    for f in ("out.txt", "stats.txt", "structure.txt"):
+        assert (d_new / f).read_bytes() == (d_old / f).read_bytes(), f
+    import re
+
+    m = re.search(rb"Made (\d+) grafts", r_new.stderr)
+    assert m and int(m.group(1)) > 0, r_new.stderr[-400:]
