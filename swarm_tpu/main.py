@@ -63,6 +63,9 @@ def run(argv, progname: str) -> int:
             jax.profiler.stop_trace()
 
     close_files(p)
+    from .progress import trace_dump
+
+    trace_dump()
     return 0
 
 

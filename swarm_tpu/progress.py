@@ -14,6 +14,41 @@ GRANULARITY = 200
 
 _TIMING = bool(os.environ.get("SWARM_TPU_TIMING"))
 
+# SWARM_TPU_TRACE=FILE collects per-phase spans and dumps a
+# chrome://tracing-compatible JSON artifact at the end of the run
+# (main.py writes it) — the reference's PROFILE build-mode analog with
+# a structured artifact instead of stderr text
+_TRACE = os.environ.get("SWARM_TPU_TRACE")
+_trace_events = []
+
+
+def trace_dump() -> None:
+    """Write the collected phase spans to $SWARM_TPU_TRACE (chrome
+    trace-event format: load in chrome://tracing or Perfetto)."""
+    if not _TRACE or not _trace_events:
+        return
+    import json
+
+    with open(_TRACE, "w") as fh:
+        json.dump(
+            {
+                "traceEvents": [
+                    {
+                        "name": name,
+                        "ph": "X",
+                        "ts": int(t0 * 1e6),
+                        "dur": int((t1 - t0) * 1e6),
+                        "pid": os.getpid(),
+                        "tid": 0,
+                        "cat": "phase",
+                    }
+                    for name, t0, t1 in _trace_events
+                ],
+                "displayTimeUnit": "ms",
+            },
+            fh,
+        )
+
 
 class Progress:
     def __init__(self, logfile, log_to_file: bool):
@@ -32,6 +67,8 @@ class Progress:
         self.size = size
         self.chunk = 1 if size < GRANULARITY else size // GRANULARITY
         self.next = 1
+        if _TRACE:
+            self._t0 = time.perf_counter()
         if _TIMING:
             self._t0 = time.perf_counter()
             if Progress._last_done:
@@ -62,6 +99,10 @@ class Progress:
         else:
             self.logfile.write(f"  \r{self.prompt} 100%\n")
         self.logfile.flush()
+        if _TRACE:
+            _trace_events.append(
+                (self.prompt.strip(), self._t0, time.perf_counter())
+            )
         if _TIMING:
             Progress._last_done = time.perf_counter()
             sys.__stderr__.write(

@@ -51,3 +51,37 @@ def test_stderr_general(both, d):
 
 def test_stderr_d1_mothur(both):
     both.compare(["-r", "-o", "out.txt"], big_cloud(38))
+
+
+def test_trace_artifact(tmp_path):
+    """SWARM_TPU_TRACE writes a chrome-trace JSON of phase spans."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from genfasta import amplicon_cloud
+
+    repo = Path(__file__).resolve().parent.parent
+    (tmp_path / "in.fasta").write_text(
+        amplicon_cloud(seed=21, n_centers=4, cloud_size=8, length=60)
+    )
+    trace = tmp_path / "trace.json"
+    env = {
+        **os.environ,
+        "PYTHONPATH": str(repo),
+        "JAX_PLATFORMS": "cpu",
+        "SWARM_TPU_FORCE_PLATFORM": "cpu",
+        "SWARM_TPU_TRACE": str(trace),
+    }
+    r = subprocess.run(
+        [sys.executable, str(repo / "bin" / "swarm"), "-d", "1",
+         "-o", "o.txt", "in.fasta"],
+        cwd=tmp_path, env=env, capture_output=True, timeout=120,
+    )
+    assert r.returncode == 0
+    data = json.loads(trace.read_text())
+    names = [e["name"] for e in data["traceEvents"]]
+    assert "Building network:" in names and "Clustering:" in names
+    assert all(e["ph"] == "X" and e["dur"] >= 0 for e in data["traceEvents"])
