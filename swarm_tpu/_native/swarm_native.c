@@ -452,13 +452,67 @@ static int cmp_records(const void *pa, const void *pb, void *arg) {
   return a < b ? -1 : (a > b ? 1 : 0); /* stable */
 }
 
+/* composite sort key: (abundance desc, first 8 header bytes asc)
+ * resolves almost every comparison from two in-struct u64 compares —
+ * the pointer-chasing comparator paid ~3 random derefs per compare.
+ * Ties on both keys fall back to the exact header rule. Zero-padding
+ * the prefix is safe: header bytes exclude NUL (the parser terminates
+ * headers at ' ', '\r' and NUL), so a shorter prefix sorts first. */
+typedef struct {
+  uint64_t k1, k2;
+  int64_t idx;
+} absort_key_t;
+
+static const uint8_t *absort_buf;
+static const int64_t *absort_off, *absort_len;
+
+static int cmp_absort(const void *x, const void *y) {
+  const absort_key_t *a = (const absort_key_t *)x;
+  const absort_key_t *b = (const absort_key_t *)y;
+  if (a->k1 != b->k1)
+    return a->k1 < b->k1 ? -1 : 1;
+  if (a->k2 != b->k2)
+    return a->k2 < b->k2 ? -1 : 1;
+  int64_t la = absort_len[a->idx], lb = absort_len[b->idx];
+  int64_t m = la < lb ? la : lb;
+  int c = memcmp(absort_buf + absort_off[a->idx],
+                 absort_buf + absort_off[b->idx], (size_t)m);
+  if (c)
+    return c;
+  if (la != lb)
+    return la < lb ? -1 : 1;
+  return a->idx < b->idx ? -1 : (a->idx > b->idx ? 1 : 0);
+}
+
 void abundance_sort(const uint8_t *buf, const int64_t *hdr_off,
                     const int64_t *hdr_len, const int64_t *abundance,
                     int64_t n, int64_t *order) {
+  absort_key_t *keys =
+      (absort_key_t *)malloc((size_t)(n > 0 ? n : 1) * sizeof(absort_key_t));
+  if (keys == NULL) { /* fall back to the pointer-chasing comparator */
+    for (int64_t i = 0; i < n; i++)
+      order[i] = i;
+    sort_ctx ctx = {buf, hdr_off, hdr_len, abundance};
+    qsort_r(order, (size_t)n, sizeof(int64_t), cmp_records, &ctx);
+    return;
+  }
+  for (int64_t i = 0; i < n; i++) {
+    keys[i].k1 = ~(uint64_t)abundance[i];
+    const uint8_t *h = buf + hdr_off[i];
+    int64_t l = hdr_len[i];
+    uint64_t k2 = 0;
+    for (int64_t j = 0; j < 8 && j < l; j++)
+      k2 |= (uint64_t)h[j] << (56 - 8 * j);
+    keys[i].k2 = k2;
+    keys[i].idx = i;
+  }
+  absort_buf = buf;
+  absort_off = hdr_off;
+  absort_len = hdr_len;
+  qsort(keys, (size_t)n, sizeof(absort_key_t), cmp_absort);
   for (int64_t i = 0; i < n; i++)
-    order[i] = i;
-  sort_ctx ctx = {buf, hdr_off, hdr_len, abundance};
-  qsort_r(order, (size_t)n, sizeof(int64_t), cmp_records, &ctx);
+    order[i] = keys[i].idx;
+  free(keys);
 }
 
 /* ------------------------------------------------------------------ */
