@@ -897,3 +897,20 @@ def algo_cluster_graph(adj_start, adj_count, adj_to, adj_diff, abundances,
             "alignments": int(summary[5]),
         },
     }
+
+
+def verify_dist1_pairs(codes, offsets, lengths, pa, pb):
+    """Exact dist<=1 check of candidate pairs against the code arena
+    (host tail of the width-bucketed d=1 join)."""
+    P = len(pa)
+    good = np.zeros(P, dtype=np.uint8)
+    lib.verify_dist1_pairs.restype = None
+    lib.verify_dist1_pairs(
+        _ptr(np.ascontiguousarray(codes, dtype=np.uint8)),
+        _ptr(np.ascontiguousarray(offsets, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(lengths, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(pa, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(pb, dtype=np.int64)),
+        ctypes.c_int64(P), _ptr(good),
+    )
+    return good.astype(bool)

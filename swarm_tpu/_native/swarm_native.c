@@ -4019,3 +4019,20 @@ int64_t d1_network_native_mt(const uint8_t *arena, const int64_t *offsets,
   free(packed);
   return cnt;
 }
+
+/* exact dist<=1 verification of candidate pairs against the arena
+ * (host tail of the width-bucketed d=1 join, where no full-width
+ * device code table exists) */
+void verify_dist1_pairs(const uint8_t *arena, const int64_t *offsets,
+                        const int64_t *lengths, const int64_t *pa,
+                        const int64_t *pb, int64_t P, uint8_t *good) {
+  for (int64_t i = 0; i < P; i++) {
+    int64_t a = pa[i], b = pb[i];
+    if (a < 0 || b < 0) {
+      good[i] = 0;
+      continue;
+    }
+    good[i] = (uint8_t)dist1_check(arena + offsets[a], lengths[a],
+                                   arena + offsets[b], lengths[b]);
+  }
+}

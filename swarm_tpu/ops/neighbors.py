@@ -324,12 +324,27 @@ class NeighborIndex:
             )
         if backend == "jax":
             from .neighbors_sortjoin import (
+                BucketedSortJoinEngine,
                 SentinelCollision,
                 SortJoinNeighborEngine,
             )
 
+            bucket_env = os.environ.get("SWARM_TPU_D1_BUCKETS", "")
+            use_buckets = (
+                bucket_env == "1"
+                or (
+                    bucket_env != "0"
+                    and BucketedSortJoinEngine.worthwhile(self.lengths)
+                )
+            )
             try:
-                engine = self._engine or SortJoinNeighborEngine(self.db)
+                if use_buckets:
+                    # mixed-length corpus: per-width-bucket keygen keeps
+                    # device memory at sum(n_k * W_k) instead of
+                    # n * roundup(longest)
+                    engine = BucketedSortJoinEngine(self.db)
+                else:
+                    engine = self._engine or SortJoinNeighborEngine(self.db)
                 return engine.build_network(no_break, abundances)
             except SentinelCollision:
                 pass  # astronomically rare: fall through to host path

@@ -454,3 +454,187 @@ class SortJoinNeighborEngine:
             ef, et = ef[keep], et[keep]
         order = np.lexsort((et, ef))
         return ef[order], et[order]
+
+
+# ---------------------------------------------------------------------
+# width-bucketed join: mixed-length corpora without the [n, max_width]
+# memory cliff (one multi-kilobase read no longer inflates every row —
+# deletion-key hashes are width-agnostic, so per-bucket keygen feeds
+# ONE global sort and the exact check runs on the host arena)
+# ---------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("widths", "lcaps", "n", "cap", "cap2", "window"),
+)
+def network_pairs_bucketed(
+    packeds, lengthss, owners, zob, widths, lcaps, n, cap, cap2, window
+):
+    """Fused multi-bucket join: per-bucket keygen (each at its own
+    width) -> concatenated key streams -> one global sort-join.
+
+    packeds/lengthss/owners: tuples of per-bucket arrays; owners carry
+    GLOBAL amplicon ids (-1 on pad rows). Pairs come back as global ids
+    and are exactness-checked on the host arena (no full-width device
+    code table exists in this mode)."""
+    his, los, owns = [], [], []
+    for packed, lens, owner_rows, W, lcap in zip(
+        packeds, lengthss, owners, widths, lcaps
+    ):
+        padded = unpack2bit_device(packed, W)
+        (k_hi, k_lo), valid = deletion_keys_device(
+            padded[:, :lcap], lens, zob
+        )
+        own = jnp.where(valid, owner_rows[:, None], -1)
+        his.append(k_hi.reshape(-1))
+        los.append(k_lo.reshape(-1))
+        owns.append(own.reshape(-1))
+    return join_pairs(
+        jnp.concatenate(his), jnp.concatenate(los), jnp.concatenate(owns),
+        n, cap=cap, cap2=cap2, window=window,
+    )
+
+
+class BucketedSortJoinEngine:
+    """Multi-width d=1 sort-join. Rows are binned to geometric width
+    levels (64 * 4^k); device memory is sum(n_k * W_k) instead of
+    n * roundup(longest) — a lone 5 kb read among 150 nt amplicons
+    costs its own bytes, not a 26x blowup of the whole table."""
+
+    LEVEL_BASE = 64
+    LEVEL_STEP = 4
+
+    @classmethod
+    def widths_for(cls, lengths):
+        w = cls.LEVEL_BASE
+        levels = []
+        maxlen = int(np.max(lengths)) if len(lengths) else 1
+        while True:
+            levels.append(w)
+            if w >= maxlen:
+                break
+            w *= cls.LEVEL_STEP
+        return levels
+
+    @classmethod
+    def worthwhile(cls, lengths) -> bool:
+        """True when bucketing saves >40% of the single-table bytes."""
+        if len(lengths) == 0:
+            return False
+        levels = cls.widths_for(lengths)
+        if len(levels) < 2:
+            return False
+        full = _round_up(int(np.max(lengths)), 64) * len(lengths)
+        cost = 0
+        for i, w in enumerate(levels):
+            lo = levels[i - 1] if i else 0
+            n_k = int(np.sum((lengths > lo) & (lengths <= w)))
+            cost += n_k * w
+        return cost < 0.6 * full
+
+    def __init__(self, db):
+        n = len(db)
+        self.n = n
+        lengths = db.lengths.astype(np.int64)
+        self.levels = self.widths_for(lengths)
+        full_width = _round_up(max(int(db.longest), 1), 64)
+        self.zob = jnp.asarray(make_zobrist_pair(full_width))
+        self.db = db
+
+        self.buckets = []  # (packed, lengths, owners, W, lcap)
+        from .neighbors import pad_codes
+
+        for i, w in enumerate(self.levels):
+            lo = self.levels[i - 1] if i else 0
+            sel = np.nonzero((lengths > lo) & (lengths <= w))[0]
+            if len(sel) == 0:
+                continue
+            rows = _row_bucket(len(sel))
+            padded = np.zeros((rows, w), dtype=np.uint8)
+            sub_off = db.offsets[sel]
+            sub_len = db.lengths[sel]
+            padded[: len(sel)] = pad_codes(
+                db.codes, sub_off, sub_len, w
+            )
+            lens = np.zeros(rows, dtype=np.int32)
+            lens[: len(sel)] = sub_len
+            owners = np.full(rows, -1, dtype=np.int32)
+            owners[: len(sel)] = sel
+            lcap = min(_round_up(int(sub_len.max()), 16), w)
+            self.buckets.append(
+                (jnp.asarray(pack2bit(padded)), jnp.asarray(lens),
+                 jnp.asarray(owners), w, lcap)
+            )
+
+    def build_network(self, no_break: bool, abundances: np.ndarray):
+        n = self.n
+        if n == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        packeds = tuple(b[0] for b in self.buckets)
+        lengthss = tuple(b[1] for b in self.buckets)
+        owners = tuple(b[2] for b in self.buckets)
+        widths = tuple(b[3] for b in self.buckets)
+        lcaps = tuple(b[4] for b in self.buckets)
+
+        cap = 1 << max(14, (n - 1).bit_length())
+        cap2 = cap
+        window = 8
+        while True:
+            pa, pb, n_flagged, n_pairs, over, sentinel_hits = (
+                network_pairs_bucketed(
+                    packeds, lengthss, owners, self.zob,
+                    widths=widths, lcaps=lcaps, n=n,
+                    cap=cap, cap2=cap2, window=window,
+                )
+            )
+            if int(sentinel_hits) > 0:
+                raise SentinelCollision(
+                    "a real deletion key equals the invalid-key sentinel"
+                )
+            if int(over) > 0:
+                window *= 2
+                continue
+            if int(n_flagged) > cap:
+                cap *= 2
+                cap2 = max(cap2, cap)
+                continue
+            if int(n_pairs) > cap2:
+                cap2 *= 2
+                continue
+            break
+
+        from .. import _native, metrics
+
+        metrics.record(d1_join_comparisons=int(n_pairs))
+        pa_np = np.asarray(pa).astype(np.int64)
+        pb_np = np.asarray(pb).astype(np.int64)
+        if _native.available():
+            good = _native.verify_dist1_pairs(
+                self.db.codes, self.db.offsets, self.db.lengths, pa_np, pb_np
+            )
+        else:
+            w_full = _round_up(max(int(self.db.longest), 1), 64)
+            from .neighbors import pad_codes
+
+            padded_full = pad_codes(
+                self.db.codes, self.db.offsets, self.db.lengths, w_full
+            )
+            good = (pa_np >= 0) & verify_dist1(
+                padded_full, self.db.lengths.astype(np.int64),
+                np.maximum(pa_np, 0), np.maximum(pb_np, 0),
+            )
+        pa_np = pa_np[good]
+        pb_np = pb_np[good]
+
+        packed_pairs = np.unique(pa_np * np.int64(n) + pb_np)
+        pa_np = packed_pairs // n
+        pb_np = packed_pairs % n
+
+        ef = np.concatenate([pa_np, pb_np])
+        et = np.concatenate([pb_np, pa_np])
+        if not no_break:
+            keep = abundances[ef] >= abundances[et]
+            ef, et = ef[keep], et[keep]
+        order = np.lexsort((et, ef))
+        return ef[order], et[order]

@@ -334,3 +334,65 @@ def test_distributed_sortjoin_single_device():
     ef_s, et_s = engine.build_network(False, ab)
     assert np.array_equal(ef_np, ef_s)
     assert np.array_equal(et_np, et_s)
+
+
+def test_bucketed_join_matches_single():
+    """Width-bucketed multi-table join == single-table join on a
+    mixed-length corpus with planted cross-bucket 1-edit pairs."""
+    import numpy as np
+
+    from swarm_tpu.ops.neighbors_sortjoin import (
+        BucketedSortJoinEngine,
+        SortJoinNeighborEngine,
+    )
+
+    rng = np.random.default_rng(71)
+    seqs = []
+    # short cloud (bucket 64)
+    base = rng.integers(0, 4, size=50).astype(np.uint8)
+    for _ in range(40):
+        v = base.copy()
+        for _ in range(int(rng.integers(0, 2))):
+            v[rng.integers(0, len(v))] = rng.integers(0, 4)
+        seqs.append(v)
+    # boundary pair: length 64 (bucket 64) and its 65-nt insertion
+    # (bucket 256) — the cross-bucket case
+    b = rng.integers(0, 4, size=64).astype(np.uint8)
+    seqs.append(b)
+    seqs.append(np.insert(b, 30, 2).astype(np.uint8))
+    # long reads (bucket 1024) with a 1-sub pair
+    L = rng.integers(0, 4, size=900).astype(np.uint8)
+    L2 = L.copy()
+    L2[500] = (L2[500] + 1) % 4
+    seqs.extend([L, L2])
+    # dedupe
+    uniq, seen = [], set()
+    for s in seqs:
+        if s.tobytes() not in seen:
+            seen.add(s.tobytes())
+            uniq.append(s)
+    seqs = uniq
+
+    from swarm_tpu.db import Db
+
+    db = Db()
+    n = len(seqs)
+    db.headers = [f"q{i}_1".encode() for i in range(n)]
+    db.codes = np.concatenate(seqs)
+    db.lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    db.offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(db.lengths[:-1], out=db.offsets[1:])
+    db.abundances = rng.integers(1, 9, size=n).astype(np.int64)
+    db.longest = int(db.lengths.max())
+    db.nucleotides = int(db.lengths.sum())
+
+    assert BucketedSortJoinEngine.worthwhile(db.lengths)
+    ab = db.abundances
+    want = SortJoinNeighborEngine(db).build_network(False, ab)
+    got = BucketedSortJoinEngine(db).build_network(False, ab)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+    # the planted cross-bucket pair must be present
+    i64, i65 = n - 4, n - 3
+    pairs = set(zip(want[0].tolist(), want[1].tolist()))
+    assert (i64, i65) in pairs or (i65, i64) in pairs
