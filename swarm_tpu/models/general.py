@@ -51,9 +51,9 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
             and backend in ("auto", "jax", "jax_probe", "jax_shard")
         ):
             try:
-                import jax
+                from ..device import device_available, device_platform
 
-                if jax.devices()[0].platform != "cpu":
+                if device_available() and device_platform() != "cpu":
                     engine = "network"
             except Exception:
                 pass

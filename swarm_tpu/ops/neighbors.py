@@ -237,6 +237,9 @@ class NeighborIndex:
     # below this much variant-hash work the device path cannot amortize
     # its compile + transfer cost (measured on v5e; tunable via env)
     AUTO_DEVICE_THRESHOLD = 20_000_000
+    #: auto backend: the native host builder owns n below this (the
+    #: device join wins above; override SWARM_TPU_D1_NATIVE_MAX)
+    NATIVE_MAX = 262_144
 
     def __init__(self, db, backend: str = "auto", threads: int = 1):
         import os
@@ -275,6 +278,20 @@ class NeighborIndex:
     def prefetch(self) -> None:
         """Start the (async) device upload early so it overlaps the
         host phases that run before the network build."""
+        import os as _os
+
+        from .. import _native
+
+        requested = _os.environ.get("SWARM_TPU_BACKEND", "auto")
+        native_max = int(
+            _os.environ.get("SWARM_TPU_D1_NATIVE_MAX", str(self.NATIVE_MAX))
+        )
+        if (
+            _native.available()
+            and requested == "auto"
+            and len(self.lengths) < native_max
+        ):
+            return  # the host path will run: skip the device upload
         if self._resolve_backend() == "jax":
             try:
                 from .neighbors_sortjoin import SortJoinNeighborEngine
@@ -292,10 +309,12 @@ class NeighborIndex:
         if work >= self.AUTO_DEVICE_THRESHOLD:
             try:
                 import jax  # noqa: F401
-
-                return "jax"
             except ImportError:
-                pass
+                return "numpy"
+            from ..device import device_available
+
+            if device_available():
+                return "jax"
         return "numpy"
 
     def build_network(self, no_break: bool, abundances: np.ndarray):
@@ -311,12 +330,17 @@ class NeighborIndex:
         from .. import _native
 
         requested = os.environ.get("SWARM_TPU_BACKEND", "auto")
+        native_max = int(
+            os.environ.get("SWARM_TPU_D1_NATIVE_MAX", str(self.NATIVE_MAX))
+        )
         if _native.available() and (
             backend == "numpy"
-            or (requested == "auto" and n < 32768)
+            or (requested == "auto" and n < native_max)
         ):
-            # latency-optimized host path: for small inputs the device
-            # dispatch overhead dominates; same edge contract
+            # latency-optimized host path: measured on this host the C
+            # builder beats the relay-attached device join up to ~200k
+            # amplicons (0.75s at 100k, 1.7s at 200k, vs >=1s of
+            # per-dispatch relay latency alone); same edge contract
             return _native.d1_network(
                 self.db.codes, self.db.offsets, self.db.lengths,
                 np.asarray(abundances, dtype=np.int64), no_break,
