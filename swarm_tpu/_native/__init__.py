@@ -759,14 +759,27 @@ def algo_cluster(profiles, codes, offsets, lengths, abundances, d,
     }
 
 
+#: above this the probe engine's random table walks outgrow cache and
+#: the sequential radix sort-join wins (measured crossover ~64k)
+D1_HOST_SORTJOIN_MIN = 65536
+
+
 def d1_network(codes, offsets, lengths, abundances, no_break, nthreads=1):
-    """(edges_from, edges_to) for d=1 via the host variant-hash builder
-    (swarm_native.c: d1_network_native / _mt). Same contract as
-    ops/neighbors.py:build_network; nthreads > 1 partitions the probe
-    phase over a pthread pool (byte-identical output)."""
+    """(edges_from, edges_to) for d=1 via the host builders
+    (swarm_native.c: d1_network_native / _mt / _sortjoin). Same
+    contract as ops/neighbors.py:build_network. Engine choice:
+    the bitset/probe builder below D1_HOST_SORTJOIN_MIN amplicons
+    (nthreads > 1 threads its probe phase), the cache-oblivious radix
+    sort-join above (SWARM_TPU_D1_HOST=probe|sortjoin overrides);
+    outputs are identical."""
     n = len(offsets)
     lib.d1_network_native.restype = ctypes.c_int64
     lib.d1_network_native_mt.restype = ctypes.c_int64
+    lib.d1_network_sortjoin.restype = ctypes.c_int64
+    mode = os.environ.get("SWARM_TPU_D1_HOST", "")
+    use_sortjoin = mode == "sortjoin" or (
+        mode != "probe" and n >= D1_HOST_SORTJOIN_MIN
+    )
     cap = max(8 * n, 64)
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
@@ -775,7 +788,13 @@ def d1_network(codes, offsets, lengths, abundances, no_break, nthreads=1):
     while True:
         ef = np.empty(cap, dtype=np.int64)
         et = np.empty(cap, dtype=np.int64)
-        if nthreads > 1:
+        if use_sortjoin:
+            cnt = lib.d1_network_sortjoin(
+                _ptr(codes), _ptr(offsets), _ptr(lengths), ctypes.c_int64(n),
+                _ptr(abundances), ctypes.c_int(1 if no_break else 0),
+                _ptr(ef), _ptr(et), ctypes.c_int64(cap),
+            )
+        elif nthreads > 1:
             cnt = lib.d1_network_native_mt(
                 _ptr(codes), _ptr(offsets), _ptr(lengths), ctypes.c_int64(n),
                 _ptr(abundances), ctypes.c_int(1 if no_break else 0),
@@ -790,6 +809,9 @@ def d1_network(codes, offsets, lengths, abundances, no_break, nthreads=1):
             )
         if cnt == -1:
             cap *= 2
+            continue
+        if cnt == -3:  # owner id space exceeded: probe engine instead
+            use_sortjoin = False
             continue
         if cnt < 0:
             raise MemoryError("d1_network_native")

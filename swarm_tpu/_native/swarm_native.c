@@ -4036,3 +4036,188 @@ void verify_dist1_pairs(const uint8_t *arena, const int64_t *offsets,
                                    arena + offsets[b], lengths[b]);
   }
 }
+
+/* ------------------------------------------------------------------ */
+/* host d=1 sort-join: the device engine's symmetric-delete join       */
+/* (keys = full hash + deletion hash per run start) realized with an   */
+/* LSD radix sort — cache-oblivious sequential passes instead of the   */
+/* probe engine's random table walks, which fall off a cliff once the  */
+/* table outgrows L2 (measured 18s at 1M amplicons vs ~4s here)        */
+/* ------------------------------------------------------------------ */
+
+/* packed key: top 40 bits of the Zobrist hash | 24-bit owner id.
+ * 40 hash bits suffice: runs are grouped on the hash prefix and every
+ * candidate pair is verified exactly, so prefix collisions only cost
+ * a few million extra dist1_check calls at 1M amplicons — in exchange
+ * the radix traffic halves (8-byte entries) and only the 40 hash bits
+ * need sorting (4 x 10-bit passes, counters L1-resident). */
+#define D1SJ_OWNER_BITS 24
+#define D1SJ_OWNER_MASK ((1ULL << D1SJ_OWNER_BITS) - 1)
+
+static void radix_sort_keys40(uint64_t *a, uint64_t *tmp, int64_t n) {
+  int64_t count[1024];
+  for (int pass = 0; pass < 4; pass++) {
+    int shift = D1SJ_OWNER_BITS + 10 * pass;
+    memset(count, 0, sizeof count);
+    for (int64_t i = 0; i < n; i++)
+      count[(a[i] >> shift) & 0x3FF]++;
+    int64_t pos = 0;
+    for (int b = 0; b < 1024; b++) {
+      int64_t c = count[b];
+      count[b] = pos;
+      pos += c;
+    }
+    for (int64_t i = 0; i < n; i++)
+      tmp[count[(a[i] >> shift) & 0x3FF]++] = a[i];
+    uint64_t *t = a;
+    a = tmp;
+    tmp = t;
+  }
+  /* 4 passes: result is back in the original buffer */
+}
+
+int64_t d1_network_sortjoin(const uint8_t *arena, const int64_t *offsets,
+                            const int64_t *lengths, int64_t n,
+                            const int64_t *abundances, int no_break,
+                            int64_t *ef_out, int64_t *et_out,
+                            int64_t cap_out) {
+  if (n == 0)
+    return 0;
+  if (n >= (int64_t)1 << D1SJ_OWNER_BITS)
+    return -3; /* caller falls back to the probe engine */
+  int64_t maxlen = 1;
+  int64_t total_keys = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (lengths[i] > maxlen)
+      maxlen = lengths[i];
+    total_keys += lengths[i] + 1; /* upper bound (run starts <= L) */
+  }
+
+  uint64_t *keys = (uint64_t *)malloc((size_t)total_keys * 8);
+  uint64_t *tmp = (uint64_t *)malloc((size_t)total_keys * 8);
+  uint64_t *pre = (uint64_t *)malloc((size_t)(maxlen + 1) * 8);
+  uint64_t *sufshift = (uint64_t *)malloc((size_t)(maxlen + 1) * 8);
+  if (keys == NULL || tmp == NULL || pre == NULL || sufshift == NULL) {
+    free(keys); free(tmp); free(pre); free(sufshift);
+    return -2;
+  }
+
+  int64_t m = 0;
+  for (int64_t a = 0; a < n; a++) {
+    const uint8_t *s = arena + offsets[a];
+    const int64_t L = lengths[a];
+    pre[0] = 0;
+    for (int64_t p = 0; p < L; p++)
+      pre[p + 1] = pre[p] ^ zpos(p, s[p]);
+    keys[m++] = (pre[L] & ~D1SJ_OWNER_MASK) | (uint64_t)a; /* full hash */
+    if (L > 1) {
+      sufshift[L] = 0;
+      for (int64_t p = L - 1; p >= 1; p--)
+        sufshift[p] = sufshift[p + 1] ^ zpos(p - 1, s[p]);
+      /* deletion keys at run starts only (del_p == del_runstart(p)) */
+      for (int64_t p = 0; p < L; p++) {
+        if (p > 0 && s[p] == s[p - 1])
+          continue;
+        keys[m++] = ((pre[p] ^ sufshift[p + 1]) & ~D1SJ_OWNER_MASK)
+                    | (uint64_t)a;
+      }
+    }
+  }
+  free(pre);
+  free(sufshift);
+
+  radix_sort_keys40(keys, tmp, m);
+  free(tmp);
+
+  /* run scan: all cross pairs within each equal-prefix run */
+  int64_t pair_cap = 4 * n + 64;
+  uint64_t *pairs = (uint64_t *)malloc((size_t)pair_cap * 8);
+  if (pairs == NULL) {
+    free(keys);
+    return -2;
+  }
+  int64_t n_pairs = 0;
+  int rc = 0;
+  int64_t i = 0;
+  while (i < m && rc == 0) {
+    uint64_t prefix = keys[i] & ~D1SJ_OWNER_MASK;
+    int64_t j = i + 1;
+    while (j < m && (keys[j] & ~D1SJ_OWNER_MASK) == prefix)
+      j++;
+    for (int64_t x = i; x < j && rc == 0; x++) {
+      int64_t a = (int64_t)(keys[x] & D1SJ_OWNER_MASK);
+      for (int64_t y = x + 1; y < j; y++) {
+        int64_t b = (int64_t)(keys[y] & D1SJ_OWNER_MASK);
+        if (a == b)
+          continue;
+        if (!dist1_check(arena + offsets[a], lengths[a],
+                         arena + offsets[b], lengths[b]))
+          continue;
+        uint64_t key = a < b ? ((uint64_t)a << 32) | (uint64_t)b
+                             : ((uint64_t)b << 32) | (uint64_t)a;
+        if (n_pairs >= pair_cap) {
+          int64_t nc2 = pair_cap * 2;
+          uint64_t *np_ = (uint64_t *)realloc(pairs, (size_t)nc2 * 8);
+          if (np_ == NULL) {
+            rc = -2;
+            break;
+          }
+          pairs = np_;
+          pair_cap = nc2;
+        }
+        pairs[n_pairs++] = key;
+      }
+    }
+    i = j;
+  }
+  free(keys);
+  if (rc != 0) {
+    free(pairs);
+    return rc;
+  }
+
+  int cmp_u64(const void *x, const void *y);
+  qsort(pairs, (size_t)n_pairs, 8, cmp_u64);
+  int64_t mu = 0;
+  for (int64_t k = 0; k < n_pairs; k++)
+    if (k == 0 || pairs[k] != pairs[k - 1])
+      pairs[mu++] = pairs[k];
+
+  int64_t cnt = 0;
+  for (int64_t k = 0; k < mu; k++) {
+    int64_t lo = (int64_t)(pairs[k] >> 32);
+    int64_t hi = (int64_t)(pairs[k] & 0xFFFFFFFFULL);
+    if (no_break || abundances[lo] >= abundances[hi]) {
+      if (cnt >= cap_out) {
+        free(pairs);
+        return -1;
+      }
+      ef_out[cnt] = lo;
+      et_out[cnt] = hi;
+      cnt++;
+    }
+    if (no_break || abundances[hi] >= abundances[lo]) {
+      if (cnt >= cap_out) {
+        free(pairs);
+        return -1;
+      }
+      ef_out[cnt] = hi;
+      et_out[cnt] = lo;
+      cnt++;
+    }
+  }
+  free(pairs);
+  uint64_t *packed = (uint64_t *)malloc((size_t)(cnt > 0 ? cnt : 1) * 8);
+  if (packed == NULL)
+    return -2;
+  for (int64_t k = 0; k < cnt; k++)
+    packed[k] = ((uint64_t)ef_out[k] << 32) | (uint64_t)et_out[k];
+  qsort(packed, (size_t)cnt, 8, cmp_u64);
+  for (int64_t k = 0; k < cnt; k++) {
+    ef_out[k] = (int64_t)(packed[k] >> 32);
+    et_out[k] = (int64_t)(packed[k] & 0xFFFFFFFFULL);
+  }
+  free(packed);
+  return cnt;
+}
+
