@@ -936,3 +936,29 @@ def verify_dist1_pairs(codes, offsets, lengths, pa, pb):
         ctypes.c_int64(P), _ptr(good),
     )
     return good.astype(bool)
+
+
+def graft_join(codes, offsets, lengths, n, heavy_ids, light_ids):
+    """(count, graft_cand) — host radix sort-join of both sides'
+    canonical microvariant hashes with exact midpoint verification
+    (swarm_native.c: graft_join_native). Same contract as
+    models/d1.py:_graft_join; returns None when the key space exceeds
+    the packed-index budget (caller falls back)."""
+    lib.graft_join_native.restype = ctypes.c_int64
+    graft_cand = np.full(n, -1, dtype=np.int64)
+    cnt = lib.graft_join_native(
+        _ptr(np.ascontiguousarray(codes, dtype=np.uint8)),
+        _ptr(np.ascontiguousarray(offsets, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(lengths, dtype=np.int64)),
+        ctypes.c_int64(n),
+        _ptr(np.ascontiguousarray(heavy_ids, dtype=np.int64)),
+        ctypes.c_int64(len(heavy_ids)),
+        _ptr(np.ascontiguousarray(light_ids, dtype=np.int64)),
+        ctypes.c_int64(len(light_ids)),
+        _ptr(graft_cand),
+    )
+    if cnt == -3:
+        return None
+    if cnt < 0:
+        raise MemoryError("graft_join_native")
+    return int(cnt), graft_cand

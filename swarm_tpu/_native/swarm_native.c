@@ -4054,26 +4054,56 @@ void verify_dist1_pairs(const uint8_t *arena, const int64_t *offsets,
 #define D1SJ_OWNER_BITS 24
 #define D1SJ_OWNER_MASK ((1ULL << D1SJ_OWNER_BITS) - 1)
 
+/* MSD top-10-bit partition + per-bucket LSD over the remaining 30
+ * bits (see radix_sort_keys36 for the rationale). Ends in `a`. */
 static void radix_sort_keys40(uint64_t *a, uint64_t *tmp, int64_t n) {
-  int64_t count[1024];
-  for (int pass = 0; pass < 4; pass++) {
-    int shift = D1SJ_OWNER_BITS + 10 * pass;
+  int64_t start[1025];
+  {
+    int64_t count[1024];
     memset(count, 0, sizeof count);
+    int shift = D1SJ_OWNER_BITS + 30;
     for (int64_t i = 0; i < n; i++)
       count[(a[i] >> shift) & 0x3FF]++;
     int64_t pos = 0;
     for (int b = 0; b < 1024; b++) {
-      int64_t c = count[b];
-      count[b] = pos;
-      pos += c;
+      start[b] = pos;
+      pos += count[b];
     }
+    start[1024] = pos;
+    int64_t fill[1024];
+    memcpy(fill, start, sizeof fill);
     for (int64_t i = 0; i < n; i++)
-      tmp[count[(a[i] >> shift) & 0x3FF]++] = a[i];
-    uint64_t *t = a;
-    a = tmp;
-    tmp = t;
+      tmp[fill[(a[i] >> shift) & 0x3FF]++] = a[i];
   }
-  /* 4 passes: result is back in the original buffer */
+  for (int b = 0; b < 1024; b++) {
+    int64_t lo = start[b];
+    int64_t nb = start[b + 1] - lo;
+    if (nb <= 1) {
+      if (nb == 1)
+        a[lo] = tmp[lo];
+      continue;
+    }
+    uint64_t *src = tmp + lo;
+    uint64_t *dst = a + lo;
+    for (int pass = 0; pass < 3; pass++) { /* odd passes: ends in a */
+      int shift = D1SJ_OWNER_BITS + 10 * pass;
+      int64_t count[1024];
+      memset(count, 0, sizeof count);
+      for (int64_t i = 0; i < nb; i++)
+        count[(src[i] >> shift) & 0x3FF]++;
+      int64_t pos = 0;
+      for (int d = 0; d < 1024; d++) {
+        int64_t c = count[d];
+        count[d] = pos;
+        pos += c;
+      }
+      for (int64_t i = 0; i < nb; i++)
+        dst[count[(src[i] >> shift) & 0x3FF]++] = src[i];
+      uint64_t *t = src;
+      src = dst;
+      dst = t;
+    }
+  }
 }
 
 int64_t d1_network_sortjoin(const uint8_t *arena, const int64_t *offsets,
@@ -4221,3 +4251,272 @@ int64_t d1_network_sortjoin(const uint8_t *arena, const int64_t *offsets,
   return cnt;
 }
 
+
+/* ------------------------------------------------------------------ */
+/* host fastidious graft join (reference src/algod1.cc:374-552's role) */
+/* — the d=1 radix sort-join idea applied to the variant-hash join:    */
+/* both sides' canonical microvariant hashes (7L+4 per amplicon) into  */
+/* one radix sort, cross-side pairs per equal-hash run, exact midpoint */
+/* verification. Counting matches models/d1.py:_graft_join: one event  */
+/* per verified (heavy variant instance, light variant instance) pair. */
+/* ------------------------------------------------------------------ */
+
+#define GJ_IDX_BITS 28
+#define GJ_IDX_MASK ((1ULL << GJ_IDX_BITS) - 1)
+
+/* MSD top-9-bit partition, then per-bucket LSD over the remaining 27
+ * bits: after the single GB-scale scatter every later pass works on a
+ * ~m/512-key slice that stays cache-resident — the flat LSD version
+ * paid a TLB-hostile 512-stream scatter across the whole array on
+ * every pass (measured 2-3x slower at 200M keys). Result lands back
+ * in `a`. */
+static void radix_sort_keys36(uint64_t *a, uint64_t *tmp, int64_t n) {
+  enum { MSD = 4096 };
+  int64_t start[MSD + 1];
+  {
+    int64_t count[MSD];
+    memset(count, 0, sizeof count);
+    int shift = GJ_IDX_BITS + 24;
+    for (int64_t i = 0; i < n; i++)
+      count[(a[i] >> shift) & (MSD - 1)]++;
+    int64_t pos = 0;
+    for (int b = 0; b < MSD; b++) {
+      start[b] = pos;
+      pos += count[b];
+    }
+    start[MSD] = pos;
+    int64_t fill[MSD];
+    memcpy(fill, start, sizeof fill);
+    for (int64_t i = 0; i < n; i++)
+      tmp[fill[(a[i] >> shift) & (MSD - 1)]++] = a[i];
+  }
+  for (int b = 0; b < MSD; b++) {
+    int64_t lo = start[b];
+    int64_t nb = start[b + 1] - lo;
+    if (nb <= 1) {
+      if (nb == 1)
+        a[lo] = tmp[lo];
+      continue;
+    }
+    uint64_t *src = tmp + lo;
+    uint64_t *dst = a + lo;
+    for (int pass = 0; pass < 3; pass++) { /* 3x8 bits; odd: ends in a */
+      int shift = GJ_IDX_BITS + 8 * pass;
+      int64_t count[256];
+      memset(count, 0, sizeof count);
+      for (int64_t i = 0; i < nb; i++)
+        count[(src[i] >> shift) & 0xFF]++;
+      int64_t pos = 0;
+      for (int d = 0; d < 256; d++) {
+        int64_t c = count[d];
+        count[d] = pos;
+        pos += c;
+      }
+      for (int64_t i = 0; i < nb; i++)
+        dst[count[(src[i] >> shift) & 0xFF]++] = src[i];
+      uint64_t *t = src;
+      src = dst;
+      dst = t;
+    }
+  }
+}
+
+/* emit the canonical 1-edit variant hashes of amp a (the enumeration
+ * of ops/neighbors.py:variant_hashes — each variant SEQUENCE exactly
+ * once): 3L substitutions, deletions at run starts, 3L insertions
+ * after p with base != s_p, 4 head insertions. meta: (var_kind << 30 |
+ * pos << 2 | base_sel) packed per key for exact re-materialization. */
+static int64_t gj_emit_variants(const uint8_t *s, int64_t L, uint64_t full,
+                                uint64_t *pre, uint64_t *sufshift,
+                                uint64_t *sufins, uint64_t *keys,
+                                uint32_t *meta_amp, uint32_t *meta_slot,
+                                int64_t m, uint32_t amp, uint32_t side) {
+  pre[0] = 0;
+  for (int64_t p = 0; p < L; p++)
+    pre[p + 1] = pre[p] ^ zpos(p, s[p]);
+  sufshift[L] = 0;
+  for (int64_t p = L - 1; p >= 1; p--)
+    sufshift[p] = sufshift[p + 1] ^ zpos(p - 1, s[p]);
+  sufins[L] = 0;
+  for (int64_t p = L - 1; p >= 0; p--)
+    sufins[p] = sufins[p + 1] ^ zpos(p + 1, s[p]);
+
+#define GJ_PUSH(h, kind, pos, sel)                                          \
+  do {                                                                      \
+    keys[m] = (((h) >> 28) << GJ_IDX_BITS) | (uint64_t)m;                   \
+    meta_amp[m] = amp | (side << 31);                                       \
+    meta_slot[m] = ((uint32_t)(kind) << 24) | ((uint32_t)(pos) << 2)        \
+                   | (uint32_t)(sel);                                       \
+    m++;                                                                    \
+  } while (0)
+
+  for (int64_t p = 0; p < L; p++) {
+    int oc = s[p];
+    for (int v = 0; v < 3; v++) {
+      int c = oc + 1 + v;
+      if (c > 3)
+        c -= 4;
+      uint64_t h = full ^ zpos(p, oc) ^ zpos(p, c);
+      GJ_PUSH(h, 0, p, c);
+    }
+    if (L > 1 && (p == 0 || s[p] != s[p - 1]))
+      GJ_PUSH(pre[p] ^ sufshift[p + 1], 1, p, 0);
+    for (int v = 0; v < 3; v++) {
+      int c = oc + 1 + v;
+      if (c > 3)
+        c -= 4;
+      uint64_t h = pre[p + 1] ^ zpos(p + 1, c) ^ sufins[p + 1];
+      GJ_PUSH(h, 2, p + 1, c);
+    }
+  }
+  for (int c = 0; c < 4; c++)
+    GJ_PUSH(zpos(0, c) ^ sufins[0], 2, 0, c);
+#undef GJ_PUSH
+  return m;
+}
+
+/* materialize variant (kind, pos, base) of s into out; returns len */
+static int64_t gj_materialize(const uint8_t *s, int64_t L, uint32_t mslot,
+                              uint8_t *out) {
+  uint32_t kind = mslot >> 24;
+  int64_t p = (mslot >> 2) & 0x3FFFFF;
+  uint8_t b = (uint8_t)(mslot & 3);
+  if (kind == 0) { /* substitution at p */
+    memcpy(out, s, (size_t)L);
+    out[p] = b;
+    return L;
+  }
+  if (kind == 1) { /* deletion at p */
+    memcpy(out, s, (size_t)p);
+    memcpy(out + p, s + p + 1, (size_t)(L - p - 1));
+    return L - 1;
+  }
+  /* insertion at position p */
+  memcpy(out, s, (size_t)p);
+  out[p] = b;
+  memcpy(out + p + 1, s + p, (size_t)(L - p));
+  return L + 1;
+}
+
+/* Returns the verified-pair count; fills graft_cand[l] = min heavy.
+ * graft_cand must arrive filled with -1. Errors: -2 alloc, -3 key
+ * space exceeded (caller falls back). */
+int64_t graft_join_native(const uint8_t *arena, const int64_t *offsets,
+                          const int64_t *lengths, int64_t n,
+                          const int64_t *heavy_ids, int64_t n_heavy,
+                          const int64_t *light_ids, int64_t n_light,
+                          int64_t *graft_cand) {
+  int64_t maxlen = 1;
+  int64_t total_keys = 0;
+  for (int64_t i = 0; i < n_heavy; i++) {
+    int64_t L = lengths[heavy_ids[i]];
+    if (L > maxlen)
+      maxlen = L;
+    total_keys += 7 * L + 4;
+  }
+  for (int64_t i = 0; i < n_light; i++) {
+    int64_t L = lengths[light_ids[i]];
+    if (L > maxlen)
+      maxlen = L;
+    total_keys += 7 * L + 4;
+  }
+  if (total_keys >= (int64_t)1 << GJ_IDX_BITS || maxlen >= (int64_t)1 << 22)
+    return -3; /* key space or meta pos field exceeded */
+
+  uint64_t *keys = (uint64_t *)malloc((size_t)total_keys * 8);
+  uint64_t *tmp = (uint64_t *)malloc((size_t)total_keys * 8);
+  uint32_t *meta_amp = (uint32_t *)malloc((size_t)total_keys * 4);
+  uint32_t *meta_slot = (uint32_t *)malloc((size_t)total_keys * 4);
+  uint64_t *pre = (uint64_t *)malloc((size_t)(maxlen + 2) * 8);
+  uint64_t *sufshift = (uint64_t *)malloc((size_t)(maxlen + 2) * 8);
+  uint64_t *sufins = (uint64_t *)malloc((size_t)(maxlen + 2) * 8);
+  uint8_t *va = (uint8_t *)malloc((size_t)(maxlen + 2));
+  uint8_t *vb = (uint8_t *)malloc((size_t)(maxlen + 2));
+  if (!keys || !tmp || !meta_amp || !meta_slot || !pre || !sufshift ||
+      !sufins || !va || !vb) {
+    free(keys); free(tmp); free(meta_amp); free(meta_slot);
+    free(pre); free(sufshift); free(sufins); free(va); free(vb);
+    return -2;
+  }
+
+  double _gt0 = _now();
+  int64_t m = 0;
+  for (int64_t i = 0; i < n_heavy; i++) {
+    int64_t a = heavy_ids[i];
+    const uint8_t *s = arena + offsets[a];
+    int64_t L = lengths[a];
+    uint64_t full = 0;
+    for (int64_t p = 0; p < L; p++)
+      full ^= zpos(p, s[p]);
+    m = gj_emit_variants(s, L, full, pre, sufshift, sufins, keys,
+                         meta_amp, meta_slot, m, (uint32_t)a, 1U);
+  }
+  for (int64_t i = 0; i < n_light; i++) {
+    int64_t a = light_ids[i];
+    const uint8_t *s = arena + offsets[a];
+    int64_t L = lengths[a];
+    uint64_t full = 0;
+    for (int64_t p = 0; p < L; p++)
+      full ^= zpos(p, s[p]);
+    m = gj_emit_variants(s, L, full, pre, sufshift, sufins, keys,
+                         meta_amp, meta_slot, m, (uint32_t)a, 0U);
+  }
+
+  double _gt1 = _now();
+  radix_sort_keys36(keys, tmp, m);
+  free(tmp);
+  double _gt2 = _now();
+
+  int64_t count = 0;
+  int64_t _nverify = 0;
+  int64_t i = 0;
+  while (i < m) {
+    uint64_t prefix = keys[i] >> GJ_IDX_BITS;
+    int64_t j = i + 1;
+    while (j < m && (keys[j] >> GJ_IDX_BITS) == prefix)
+      j++;
+    if (j - i >= 2) {
+      for (int64_t x = i; x < j; x++) {
+        uint64_t kx = keys[x] & GJ_IDX_MASK;
+        if (!(meta_amp[kx] >> 31))
+          continue; /* want heavy on the x side */
+        int64_t ha = (int64_t)(meta_amp[kx] & 0x7FFFFFFFU);
+        int64_t la_len = -1;
+        for (int64_t y = i; y < j; y++) {
+          uint64_t ky = keys[y] & GJ_IDX_MASK;
+          if (meta_amp[ky] >> 31)
+            continue; /* want light on the y side */
+          int64_t la = (int64_t)(meta_amp[ky] & 0x7FFFFFFFU);
+          if (la_len < 0)
+            la_len = gj_materialize(arena + offsets[ha], lengths[ha],
+                                    meta_slot[kx], va);
+          _nverify++;
+          int64_t lb_len = gj_materialize(arena + offsets[la], lengths[la],
+                                          meta_slot[ky], vb);
+          if (la_len != lb_len ||
+              memcmp(va, vb, (size_t)la_len) != 0)
+            continue;
+          count++;
+          if (graft_cand[la] < 0 || ha < graft_cand[la])
+            graft_cand[la] = ha;
+        }
+      }
+    }
+    i = j;
+  }
+  if (getenv("SWARM_TPU_TIMING") != NULL)
+    fprintf(stderr,
+            "[graftC] keys=%lld keygen %.2fs radix %.2fs scan %.2fs "
+            "(verify calls %lld)\n",
+            (long long)m, _gt1 - _gt0, _gt2 - _gt1, _now() - _gt2,
+            (long long)_nverify);
+  free(keys);
+  free(meta_amp);
+  free(meta_slot);
+  free(pre);
+  free(sufshift);
+  free(sufins);
+  free(va);
+  free(vb);
+  return count;
+}

@@ -411,8 +411,27 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
 
     # graft candidates: join heavy variant hashes against light variant
     # hashes; exact verification by comparing reconstructed midpoints.
+    from .. import _native
+
     backend = index._resolve_backend()
-    if backend in ("jax", "jax_probe", "jax_shard"):
+    graft_mode_env = os.environ.get("SWARM_TPU_GRAFT", "")
+    native_res = None
+    if (
+        _native.available()
+        and (graft_mode_env == "native" or backend == "numpy")
+    ):
+        # host radix sort-join over both sides' variant hashes — the
+        # fast path when no (healthy) accelerator is attached, and the
+        # explicit SWARM_TPU_GRAFT=native choice
+        native_res = _native.graft_join(
+            db.codes, db.offsets, db.lengths, n,
+            np.asarray(heavy_amps, dtype=np.int64),
+            np.asarray(light_amps, dtype=np.int64),
+        )
+    if native_res is not None:
+        graft_candidates, graft_cand = native_res
+        graft_cand = np.where(graft_cand < 0, NO_SWARM, graft_cand)
+    elif backend in ("jax", "jax_probe", "jax_shard"):
         from ..ops.fastidious_jax import GraftEngine
         from ..ops.neighbors_jax import _round_up, make_zobrist_pair
         from ..ops.neighbors import pad_codes
