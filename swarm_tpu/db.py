@@ -636,13 +636,15 @@ def _db_read_native(p: Parameters, progress: Progress, raw: bytes,
     db.hdr_off = hdr_off[order]
     db.hdr_len = hdr_len[order]
     db.lengths = seq_len[order].astype(np.int64)
-    db.offsets = np.zeros(n, dtype=np.int64)
     if n > 0:
-        np.cumsum(db.lengths[:-1], out=db.offsets[1:])
-        db.codes = _native.gather_arena(
-            codes_all, seq_off, seq_len, order, nucleotides
-        )  # reorders segments and translates 1..4 -> 0..3
+        # the arena stays in parse order; only the per-record offsets
+        # are permuted — every consumer addresses sequences through
+        # (offsets, lengths), so the 152 MB/1M-amp segment copy the
+        # old gather paid buys nothing
+        db.offsets = seq_off[order].astype(np.int64)
+        db.codes = codes_all[:nucleotides]
     else:
+        db.offsets = np.zeros(n, dtype=np.int64)
         db.codes = np.zeros(0, dtype=np.uint8)
     db.abundances = abundances[order].astype(np.uint64) if n else abundances.astype(np.uint64)
     db.abundance_start = ab_start[order] if n else ab_start
