@@ -2900,6 +2900,19 @@ static inline uint64_t zpos(int64_t pos, int c) {
   return splitmix64(((uint64_t)pos << 2) | (uint64_t)c);
 }
 
+/* position-major zpos table: [maxlen+2][4] fits L1 for amplicon-scale
+ * lengths and turns three multiplies per lookup into one load */
+static uint64_t *zpos_table(int64_t maxlen) {
+  uint64_t *t = (uint64_t *)malloc((size_t)(maxlen + 2) * 4 * 8);
+  if (t == NULL)
+    return NULL;
+  for (int64_t p = 0; p < maxlen + 2; p++)
+    for (int c = 0; c < 4; c++)
+      t[4 * p + c] = zpos(p, c);
+  return t;
+}
+#define ZPT(t, p, c) ((t)[4 * (p) + (c)])
+
 static int dist1_check(const uint8_t *a, int64_t la, const uint8_t *b,
                        int64_t lb) {
   if (la == lb) {
@@ -4054,28 +4067,32 @@ void verify_dist1_pairs(const uint8_t *arena, const int64_t *offsets,
 #define D1SJ_OWNER_BITS 24
 #define D1SJ_OWNER_MASK ((1ULL << D1SJ_OWNER_BITS) - 1)
 
-/* MSD top-10-bit partition + per-bucket LSD over the remaining 30
- * bits (see radix_sort_keys36 for the rationale). Ends in `a`. */
+/* MSD top-12-bit partition + per-bucket 3x8-bit LSD over the next 24
+ * bits — only the top 36 hash bits are sorted (L1-resident buckets at
+ * ~28k keys/bucket for 114M keys); the 4 bits above the owner field
+ * stay unsorted, so runs group on a 36-bit prefix and the exact
+ * verifier absorbs the few extra collisions. Ends in `a`. */
 static void radix_sort_keys40(uint64_t *a, uint64_t *tmp, int64_t n) {
-  int64_t start[1025];
+  enum { MSD = 4096 };
+  int64_t start[MSD + 1];
   {
-    int64_t count[1024];
+    int64_t count[MSD];
     memset(count, 0, sizeof count);
-    int shift = D1SJ_OWNER_BITS + 30;
+    int shift = D1SJ_OWNER_BITS + 28;
     for (int64_t i = 0; i < n; i++)
-      count[(a[i] >> shift) & 0x3FF]++;
+      count[(a[i] >> shift) & (MSD - 1)]++;
     int64_t pos = 0;
-    for (int b = 0; b < 1024; b++) {
+    for (int b = 0; b < MSD; b++) {
       start[b] = pos;
       pos += count[b];
     }
-    start[1024] = pos;
-    int64_t fill[1024];
+    start[MSD] = pos;
+    int64_t fill[MSD];
     memcpy(fill, start, sizeof fill);
     for (int64_t i = 0; i < n; i++)
-      tmp[fill[(a[i] >> shift) & 0x3FF]++] = a[i];
+      tmp[fill[(a[i] >> shift) & (MSD - 1)]++] = a[i];
   }
-  for (int b = 0; b < 1024; b++) {
+  for (int b = 0; b < MSD; b++) {
     int64_t lo = start[b];
     int64_t nb = start[b + 1] - lo;
     if (nb <= 1) {
@@ -4086,19 +4103,19 @@ static void radix_sort_keys40(uint64_t *a, uint64_t *tmp, int64_t n) {
     uint64_t *src = tmp + lo;
     uint64_t *dst = a + lo;
     for (int pass = 0; pass < 3; pass++) { /* odd passes: ends in a */
-      int shift = D1SJ_OWNER_BITS + 10 * pass;
-      int64_t count[1024];
+      int shift = D1SJ_OWNER_BITS + 4 + 8 * pass;
+      int64_t count[256];
       memset(count, 0, sizeof count);
       for (int64_t i = 0; i < nb; i++)
-        count[(src[i] >> shift) & 0x3FF]++;
+        count[(src[i] >> shift) & 0xFF]++;
       int64_t pos = 0;
-      for (int d = 0; d < 1024; d++) {
+      for (int d = 0; d < 256; d++) {
         int64_t c = count[d];
         count[d] = pos;
         pos += c;
       }
       for (int64_t i = 0; i < nb; i++)
-        dst[count[(src[i] >> shift) & 0x3FF]++] = src[i];
+        dst[count[(src[i] >> shift) & 0xFF]++] = src[i];
       uint64_t *t = src;
       src = dst;
       dst = t;
@@ -4127,23 +4144,26 @@ int64_t d1_network_sortjoin(const uint8_t *arena, const int64_t *offsets,
   uint64_t *tmp = (uint64_t *)malloc((size_t)total_keys * 8);
   uint64_t *pre = (uint64_t *)malloc((size_t)(maxlen + 1) * 8);
   uint64_t *sufshift = (uint64_t *)malloc((size_t)(maxlen + 1) * 8);
-  if (keys == NULL || tmp == NULL || pre == NULL || sufshift == NULL) {
-    free(keys); free(tmp); free(pre); free(sufshift);
+  uint64_t *zpt = zpos_table(maxlen);
+  if (keys == NULL || tmp == NULL || pre == NULL || sufshift == NULL ||
+      zpt == NULL) {
+    free(keys); free(tmp); free(pre); free(sufshift); free(zpt);
     return -2;
   }
 
+  double _t0 = _now();
   int64_t m = 0;
   for (int64_t a = 0; a < n; a++) {
     const uint8_t *s = arena + offsets[a];
     const int64_t L = lengths[a];
     pre[0] = 0;
     for (int64_t p = 0; p < L; p++)
-      pre[p + 1] = pre[p] ^ zpos(p, s[p]);
+      pre[p + 1] = pre[p] ^ ZPT(zpt, p, s[p]);
     keys[m++] = (pre[L] & ~D1SJ_OWNER_MASK) | (uint64_t)a; /* full hash */
     if (L > 1) {
       sufshift[L] = 0;
       for (int64_t p = L - 1; p >= 1; p--)
-        sufshift[p] = sufshift[p + 1] ^ zpos(p - 1, s[p]);
+        sufshift[p] = sufshift[p + 1] ^ ZPT(zpt, p - 1, s[p]);
       /* deletion keys at run starts only (del_p == del_runstart(p)) */
       for (int64_t p = 0; p < L; p++) {
         if (p > 0 && s[p] == s[p - 1])
@@ -4155,9 +4175,12 @@ int64_t d1_network_sortjoin(const uint8_t *arena, const int64_t *offsets,
   }
   free(pre);
   free(sufshift);
+  free(zpt);
 
+  double _t1 = _now();
   radix_sort_keys40(keys, tmp, m);
   free(tmp);
+  double _t2 = _now();
 
   /* run scan: all cross pairs within each equal-prefix run */
   int64_t pair_cap = 4 * n + 64;
@@ -4170,9 +4193,10 @@ int64_t d1_network_sortjoin(const uint8_t *arena, const int64_t *offsets,
   int rc = 0;
   int64_t i = 0;
   while (i < m && rc == 0) {
-    uint64_t prefix = keys[i] & ~D1SJ_OWNER_MASK;
+    /* runs group on the SORTED prefix (top 36 bits) */
+    uint64_t prefix = keys[i] >> (D1SJ_OWNER_BITS + 4);
     int64_t j = i + 1;
-    while (j < m && (keys[j] & ~D1SJ_OWNER_MASK) == prefix)
+    while (j < m && (keys[j] >> (D1SJ_OWNER_BITS + 4)) == prefix)
       j++;
     for (int64_t x = i; x < j && rc == 0; x++) {
       int64_t a = (int64_t)(keys[x] & D1SJ_OWNER_MASK);
@@ -4205,6 +4229,9 @@ int64_t d1_network_sortjoin(const uint8_t *arena, const int64_t *offsets,
     free(pairs);
     return rc;
   }
+  if (getenv("SWARM_TPU_TIMING") != NULL)
+    fprintf(stderr, "[d1sj] keys=%lld keygen %.2fs radix %.2fs scan %.2fs\n",
+            (long long)m, _t1 - _t0, _t2 - _t1, _now() - _t2);
 
   int cmp_u64(const void *x, const void *y);
   qsort(pairs, (size_t)n_pairs, 8, cmp_u64);
@@ -4326,20 +4353,21 @@ static void radix_sort_keys36(uint64_t *a, uint64_t *tmp, int64_t n) {
  * once): 3L substitutions, deletions at run starts, 3L insertions
  * after p with base != s_p, 4 head insertions. meta: (var_kind << 30 |
  * pos << 2 | base_sel) packed per key for exact re-materialization. */
-static int64_t gj_emit_variants(const uint8_t *s, int64_t L, uint64_t full,
+static int64_t gj_emit_variants(const uint64_t *zpt, const uint8_t *s,
+                                int64_t L, uint64_t full,
                                 uint64_t *pre, uint64_t *sufshift,
                                 uint64_t *sufins, uint64_t *keys,
                                 uint32_t *meta_amp, uint32_t *meta_slot,
                                 int64_t m, uint32_t amp, uint32_t side) {
   pre[0] = 0;
   for (int64_t p = 0; p < L; p++)
-    pre[p + 1] = pre[p] ^ zpos(p, s[p]);
+    pre[p + 1] = pre[p] ^ ZPT(zpt, p, s[p]);
   sufshift[L] = 0;
   for (int64_t p = L - 1; p >= 1; p--)
-    sufshift[p] = sufshift[p + 1] ^ zpos(p - 1, s[p]);
+    sufshift[p] = sufshift[p + 1] ^ ZPT(zpt, p - 1, s[p]);
   sufins[L] = 0;
   for (int64_t p = L - 1; p >= 0; p--)
-    sufins[p] = sufins[p + 1] ^ zpos(p + 1, s[p]);
+    sufins[p] = sufins[p + 1] ^ ZPT(zpt, p + 1, s[p]);
 
 #define GJ_PUSH(h, kind, pos, sel)                                          \
   do {                                                                      \
@@ -4356,7 +4384,7 @@ static int64_t gj_emit_variants(const uint8_t *s, int64_t L, uint64_t full,
       int c = oc + 1 + v;
       if (c > 3)
         c -= 4;
-      uint64_t h = full ^ zpos(p, oc) ^ zpos(p, c);
+      uint64_t h = full ^ ZPT(zpt, p, oc) ^ ZPT(zpt, p, c);
       GJ_PUSH(h, 0, p, c);
     }
     if (L > 1 && (p == 0 || s[p] != s[p - 1]))
@@ -4365,12 +4393,12 @@ static int64_t gj_emit_variants(const uint8_t *s, int64_t L, uint64_t full,
       int c = oc + 1 + v;
       if (c > 3)
         c -= 4;
-      uint64_t h = pre[p + 1] ^ zpos(p + 1, c) ^ sufins[p + 1];
+      uint64_t h = pre[p + 1] ^ ZPT(zpt, p + 1, c) ^ sufins[p + 1];
       GJ_PUSH(h, 2, p + 1, c);
     }
   }
   for (int c = 0; c < 4; c++)
-    GJ_PUSH(zpos(0, c) ^ sufins[0], 2, 0, c);
+    GJ_PUSH(ZPT(zpt, 0, c) ^ sufins[0], 2, 0, c);
 #undef GJ_PUSH
   return m;
 }
@@ -4432,10 +4460,11 @@ int64_t graft_join_native(const uint8_t *arena, const int64_t *offsets,
   uint64_t *sufins = (uint64_t *)malloc((size_t)(maxlen + 2) * 8);
   uint8_t *va = (uint8_t *)malloc((size_t)(maxlen + 2));
   uint8_t *vb = (uint8_t *)malloc((size_t)(maxlen + 2));
+  uint64_t *zpt = zpos_table(maxlen);
   if (!keys || !tmp || !meta_amp || !meta_slot || !pre || !sufshift ||
-      !sufins || !va || !vb) {
+      !sufins || !va || !vb || !zpt) {
     free(keys); free(tmp); free(meta_amp); free(meta_slot);
-    free(pre); free(sufshift); free(sufins); free(va); free(vb);
+    free(pre); free(sufshift); free(sufins); free(va); free(vb); free(zpt);
     return -2;
   }
 
@@ -4447,8 +4476,8 @@ int64_t graft_join_native(const uint8_t *arena, const int64_t *offsets,
     int64_t L = lengths[a];
     uint64_t full = 0;
     for (int64_t p = 0; p < L; p++)
-      full ^= zpos(p, s[p]);
-    m = gj_emit_variants(s, L, full, pre, sufshift, sufins, keys,
+      full ^= ZPT(zpt, p, s[p]);
+    m = gj_emit_variants(zpt, s, L, full, pre, sufshift, sufins, keys,
                          meta_amp, meta_slot, m, (uint32_t)a, 1U);
   }
   for (int64_t i = 0; i < n_light; i++) {
@@ -4457,8 +4486,8 @@ int64_t graft_join_native(const uint8_t *arena, const int64_t *offsets,
     int64_t L = lengths[a];
     uint64_t full = 0;
     for (int64_t p = 0; p < L; p++)
-      full ^= zpos(p, s[p]);
-    m = gj_emit_variants(s, L, full, pre, sufshift, sufins, keys,
+      full ^= ZPT(zpt, p, s[p]);
+    m = gj_emit_variants(zpt, s, L, full, pre, sufshift, sufins, keys,
                          meta_amp, meta_slot, m, (uint32_t)a, 0U);
   }
 
@@ -4518,5 +4547,6 @@ int64_t graft_join_native(const uint8_t *arena, const int64_t *offsets,
   free(sufins);
   free(va);
   free(vb);
+  free(zpt);
   return count;
 }
