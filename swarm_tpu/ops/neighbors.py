@@ -341,11 +341,15 @@ class NeighborIndex:
             # builder beats the relay-attached device join up to ~200k
             # amplicons (0.75s at 100k, 1.7s at 200k, vs >=1s of
             # per-dispatch relay latency alone); same edge contract
-            return _native.d1_network(
+            ef, et = _native.d1_network(
                 self.db.codes, self.db.offsets, self.db.lengths,
                 np.asarray(abundances, dtype=np.int64), no_break,
                 nthreads=self.threads,
             )
+            from .. import metrics
+
+            metrics.record(d1_join_comparisons=int(len(ef)))
+            return ef, et
         if backend == "jax":
             from .neighbors_sortjoin import (
                 BucketedSortJoinEngine,
