@@ -20,6 +20,11 @@ def _run(tmp_path, tag, fasta, graft_engine):
         **os.environ,
         "PYTHONPATH": str(REPO_ROOT),
         "SWARM_TPU_PROGNAME": "swarm",
+        # force the device engines: under "auto" these corpora resolve
+        # to the native host graft and the comparison would be vacuous
+        "SWARM_TPU_BACKEND": "jax",
+        "JAX_PLATFORMS": "cpu",
+        "SWARM_TPU_FORCE_PLATFORM": "cpu",
     }
     if graft_engine:
         env["SWARM_TPU_GRAFT"] = graft_engine
@@ -63,3 +68,18 @@ def test_fused_matches_split(tmp_path):
 
     m = re.search(rb"Made (\d+) grafts", r_new.stderr)
     assert m and int(m.group(1)) > 0, r_new.stderr[-400:]
+
+
+def test_native_graft_matches_device(tmp_path):
+    """The host radix graft join == the device sort-join engine."""
+    fasta = amplicon_cloud(seed=779, n_centers=12, cloud_size=28,
+                           length=65, max_edits=4, max_abundance=8)
+    d_dev, r_dev = _run(tmp_path, "device", fasta, None)
+    d_nat, r_nat = _run(tmp_path, "native", fasta, "native")
+    assert r_dev.stderr == r_nat.stderr
+    for f in ("out.txt", "stats.txt", "structure.txt"):
+        assert (d_dev / f).read_bytes() == (d_nat / f).read_bytes(), f
+    import re
+
+    m = re.search(rb"Made (\d+) grafts", r_dev.stderr)
+    assert m and int(m.group(1)) > 0, r_dev.stderr[-400:]
