@@ -266,10 +266,39 @@ def emit(results: dict) -> None:
     print(json.dumps(line), flush=True)
 
 
+def probe_device(budget: int) -> bool:
+    """Dispatch one tiny op through the attached backend in a
+    subprocess with a hard wall-clock bound. A device that cannot
+    answer within the budget would hang the in-process warm-up (a
+    wedged jit cannot be interrupted), so the bench demotes itself to
+    the host engines instead — the record must always land."""
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "print(np.asarray(jnp.ones(4) * 2)[0])"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            timeout=budget,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     # "auto" is the product default: big corpora route to the device
     # engines, small ones to the latency-optimized native host path
     backend = os.environ.get("SWARM_TPU_BENCH_BACKEND", "auto")
+    if backend == "auto":
+        budget = int(os.environ.get("SWARM_TPU_BENCH_DEVICE_BUDGET", "150"))
+        if probe_device(budget):
+            log("device probe ok: auto backend may use the accelerator")
+        else:
+            log(f"device probe failed within {budget}s: host engines only")
+            backend = "numpy"
+            os.environ.setdefault("SWARM_TPU_GRAFT", "native")
     selected = os.environ.get("SWARM_TPU_BENCH_CONFIGS", "")
     names = [c.strip() for c in selected.split(",") if c.strip()] or list(CONFIGS)
     n_override = os.environ.get("SWARM_TPU_BENCH_N")
