@@ -3746,21 +3746,19 @@ int64_t write_uclust_d1_mt(
     s = e;
   }
 
+  int created[64];
   for (int64_t t = 0; t < nthreads; t++) {
-    if (tasks[t].written == -3)
+    created[t] = 0;
+    if (tasks[t].written == -3) /* out-buffer alloc failed: never run */
       continue;
-    if (t < nthreads - 1) {
-      if (pthread_create(&tids[t], NULL, uclust_worker, &tasks[t]) != 0)
-        uclust_worker(&tasks[t]); /* degrade to inline */
-      else
-        continue;
-      tids[t] = pthread_self(); /* mark as not-joinable */
-    } else {
-      uclust_worker(&tasks[t]);
-    }
+    if (t < nthreads - 1 &&
+        pthread_create(&tids[t], NULL, uclust_worker, &tasks[t]) == 0)
+      created[t] = 1;
+    else
+      uclust_worker(&tasks[t]); /* last task or create failure: inline */
   }
-  for (int64_t t = 0; t < nthreads - 1; t++)
-    if (tasks[t].written != -3 && !pthread_equal(tids[t], pthread_self()))
+  for (int64_t t = 0; t < nthreads; t++)
+    if (created[t])
       pthread_join(tids[t], NULL);
 
   int64_t total = 0;

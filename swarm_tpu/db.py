@@ -639,10 +639,12 @@ def _db_read_native(p: Parameters, progress: Progress, raw: bytes,
     if n > 0:
         # the arena stays in parse order; only the per-record offsets
         # are permuted — every consumer addresses sequences through
-        # (offsets, lengths), so the 152 MB/1M-amp segment copy the
-        # old gather paid buys nothing
+        # (offsets, lengths), so the random-access segment reorder the
+        # old gather paid buys nothing. The sequential exact-size copy
+        # releases the parse buffer's header/newline overhead instead
+        # of pinning it behind a view.
         db.offsets = seq_off[order].astype(np.int64)
-        db.codes = codes_all[:nucleotides]
+        db.codes = codes_all[:nucleotides].copy()
     else:
         db.offsets = np.zeros(n, dtype=np.int64)
         db.codes = np.zeros(0, dtype=np.uint8)

@@ -311,10 +311,14 @@ class NeighborIndex:
                 import jax  # noqa: F401
             except ImportError:
                 return "numpy"
-            from ..device import device_available
+            from ..device import device_available, device_platform
 
             if device_available():
-                return "jax"
+                if os.environ.get("SWARM_TPU_FORCE_PLATFORM") == "cpu":
+                    return "jax"  # test harness: virtual CPU mesh
+                if device_platform() != "cpu":
+                    return "jax"
+                # CPU-only jax: the native host engines beat CPU-XLA
         return "numpy"
 
     def build_network(self, no_break: bool, abundances: np.ndarray):

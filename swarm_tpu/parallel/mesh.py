@@ -142,7 +142,10 @@ def _sharded_join_body(
     # information and would flood block 2^32-range otherwise)
     sent = jnp.uint32(0xFFFFFFFF)
     hi_r = jnp.where(own < 0, sent, hi)
-    route = (hi_r >> jnp.uint32(32 - log2d)).astype(jnp.int32)
+    if log2d == 0:
+        route = jnp.zeros(hi_r.shape, dtype=jnp.int32)
+    else:
+        route = (hi_r >> jnp.uint32(32 - log2d)).astype(jnp.int32)
     route = jnp.where(own < 0, D, route)  # invalid -> dropped bucket
 
     order = jnp.argsort(route)  # stable; groups destinations
@@ -401,7 +404,12 @@ def _route_blocks(hi, lo, amp, meta, valid, log2d, cap_block):
     D = 1 << log2d
     sent = _SENT32
     hi_r = jnp.where(valid, hi, sent)
-    route = (hi_r >> jnp.uint32(32 - log2d)).astype(jnp.int32)
+    if log2d == 0:
+        # a full-width shift (32 - 0) is undefined; one device owns the
+        # whole hash range
+        route = jnp.zeros(hi_r.shape, dtype=jnp.int32)
+    else:
+        route = (hi_r >> jnp.uint32(32 - log2d)).astype(jnp.int32)
     route = jnp.where(valid, route, D)
 
     order = jnp.argsort(route)

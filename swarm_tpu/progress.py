@@ -29,6 +29,8 @@ def trace_dump() -> None:
         return
     import json
 
+    events = list(_trace_events)
+    _trace_events.clear()  # one artifact per run (resident server)
     with open(_TRACE, "w") as fh:
         json.dump(
             {
@@ -42,7 +44,7 @@ def trace_dump() -> None:
                         "tid": 0,
                         "cat": "phase",
                     }
-                    for name, t0, t1 in _trace_events
+                    for name, t0, t1 in events
                 ],
                 "displayTimeUnit": "ms",
             },

@@ -189,11 +189,14 @@ def serve(sock_path: str, ready_fd: int = None) -> None:
             pass
 
 
-def forward(sock_path: str, argv, progname: str = "swarm") -> int:
+def forward(sock_path: str, argv, progname: str = "swarm",
+            conn=None) -> int:
     """Run argv on the resident server; returns the exit code.
-    Raises OSError when no server is listening (caller falls back)."""
-    conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-    conn.connect(sock_path)
+    Raises OSError when no server is listening (callers that want a
+    fallback should connect first and pass `conn`)."""
+    if conn is None:
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        conn.connect(sock_path)
     stdin_b64 = ""
     fastafile = [a for a in argv if a == "-"]
     # stdin is consumed when the input is '-' or absent AND the request
@@ -248,12 +251,12 @@ def _has_input_file(argv) -> bool:
             return True
         if a.startswith("--"):
             if "=" not in a and a[2:] in (
-                "append-abundance", "boundary", "ceiling", "differences",
-                "gap-extension-penalty", "gap-opening-penalty",
-                "internal-structure", "log", "match-reward",
-                "mismatch-penalty", "output-file", "gap-opening-penalty",
-                "seeds", "statistics-file", "threads", "uclust-file",
-                "boundary", "network-file",
+                "append-abundance", "bloom-bits", "boundary", "ceiling",
+                "differences", "gap-extension-penalty",
+                "gap-opening-penalty", "internal-structure", "log",
+                "match-reward", "mismatch-penalty", "network-file",
+                "output-file", "seeds", "statistics-file", "threads",
+                "uclust-file",
             ):
                 skip = True
             continue
