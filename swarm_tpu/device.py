@@ -18,10 +18,27 @@ _verdict = None
 _lock = threading.Lock()
 
 
+def _apply_force_platform():
+    """SWARM_TPU_FORCE_PLATFORM overrides any backend a site hook
+    registered (the test harness and CPU-pinned runs rely on it);
+    must happen before the first device touch in THIS module — the
+    equivalent update in ops/neighbors_jax.py only runs when that
+    module gets imported first."""
+    fp = os.environ.get("SWARM_TPU_FORCE_PLATFORM")
+    if fp:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", fp)
+        except RuntimeError:
+            pass  # backend already initialized
+
+
 def _probe_target(result):
     try:
         import jax
 
+        _apply_force_platform()
         devs = jax.devices()
         result["n"] = len(devs)
         result["platform"] = devs[0].platform if devs else "none"
@@ -36,7 +53,10 @@ def device_available(timeout: float = None) -> bool:
         if _verdict is not None:
             return _verdict
         if os.environ.get("SWARM_TPU_FORCE_PLATFORM") == "cpu":
-            # tests force the CPU platform: always available, never hangs
+            # tests force the CPU platform: always available, never
+            # hangs — but the jax config must actually be pinned to cpu
+            # before anyone (incl. device_platform) touches devices
+            _apply_force_platform()
             _verdict = True
             return True
         if timeout is None:
@@ -63,4 +83,5 @@ def device_platform() -> str:
     """Platform name once available (callers must check availability)."""
     import jax
 
+    _apply_force_platform()
     return jax.devices()[0].platform
