@@ -4295,7 +4295,10 @@ int64_t d1_network_sortjoin(const uint8_t *arena, const int64_t *offsets,
  * paid a TLB-hostile 512-stream scatter across the whole array on
  * every pass (measured 2-3x slower at 200M keys). Result lands back
  * in `a`. */
-static void radix_sort_keys36(uint64_t *a, uint64_t *tmp, int64_t n) {
+/* MSD 12-bit partition + two 12-bit LSD passes per bucket (36 bits
+ * total, 3 GB-scale passes instead of 4). Returns the buffer holding
+ * the sorted keys (a or tmp); the caller frees both. */
+static uint64_t *radix_sort_keys36(uint64_t *a, uint64_t *tmp, int64_t n) {
   enum { MSD = 4096 };
   int64_t start[MSD + 1];
   {
@@ -4315,35 +4318,35 @@ static void radix_sort_keys36(uint64_t *a, uint64_t *tmp, int64_t n) {
     for (int64_t i = 0; i < n; i++)
       tmp[fill[(a[i] >> shift) & (MSD - 1)]++] = a[i];
   }
+  /* per bucket: LSD low-12 (tmp -> a) then high-12 (a -> tmp); both
+   * passes work on ~n/4096 keys, cache-resident */
   for (int b = 0; b < MSD; b++) {
     int64_t lo = start[b];
     int64_t nb = start[b + 1] - lo;
-    if (nb <= 1) {
-      if (nb == 1)
-        a[lo] = tmp[lo];
+    if (nb <= 1)
       continue;
-    }
     uint64_t *src = tmp + lo;
     uint64_t *dst = a + lo;
-    for (int pass = 0; pass < 3; pass++) { /* 3x8 bits; odd: ends in a */
-      int shift = GJ_IDX_BITS + 8 * pass;
-      int64_t count[256];
+    for (int pass = 0; pass < 2; pass++) {
+      int shift = GJ_IDX_BITS + 12 * pass;
+      int64_t count[4096];
       memset(count, 0, sizeof count);
       for (int64_t i = 0; i < nb; i++)
-        count[(src[i] >> shift) & 0xFF]++;
+        count[(src[i] >> shift) & 0xFFF]++;
       int64_t pos = 0;
-      for (int d = 0; d < 256; d++) {
+      for (int d = 0; d < 4096; d++) {
         int64_t c = count[d];
         count[d] = pos;
         pos += c;
       }
       for (int64_t i = 0; i < nb; i++)
-        dst[count[(src[i] >> shift) & 0xFF]++] = src[i];
+        dst[count[(src[i] >> shift) & 0xFFF]++] = src[i];
       uint64_t *t = src;
       src = dst;
       dst = t;
     }
   }
+  return tmp; /* even inner passes: sorted data ends in tmp */
 }
 
 /* emit the canonical 1-edit variant hashes of amp a (the enumeration
@@ -4490,27 +4493,26 @@ int64_t graft_join_native(const uint8_t *arena, const int64_t *offsets,
   }
 
   double _gt1 = _now();
-  radix_sort_keys36(keys, tmp, m);
-  free(tmp);
+  uint64_t *sorted = radix_sort_keys36(keys, tmp, m);
   double _gt2 = _now();
 
   int64_t count = 0;
   int64_t _nverify = 0;
   int64_t i = 0;
   while (i < m) {
-    uint64_t prefix = keys[i] >> GJ_IDX_BITS;
+    uint64_t prefix = sorted[i] >> GJ_IDX_BITS;
     int64_t j = i + 1;
-    while (j < m && (keys[j] >> GJ_IDX_BITS) == prefix)
+    while (j < m && (sorted[j] >> GJ_IDX_BITS) == prefix)
       j++;
     if (j - i >= 2) {
       for (int64_t x = i; x < j; x++) {
-        uint64_t kx = keys[x] & GJ_IDX_MASK;
+        uint64_t kx = sorted[x] & GJ_IDX_MASK;
         if (!(meta_amp[kx] >> 31))
           continue; /* want heavy on the x side */
         int64_t ha = (int64_t)(meta_amp[kx] & 0x7FFFFFFFU);
         int64_t la_len = -1;
         for (int64_t y = i; y < j; y++) {
-          uint64_t ky = keys[y] & GJ_IDX_MASK;
+          uint64_t ky = sorted[y] & GJ_IDX_MASK;
           if (meta_amp[ky] >> 31)
             continue; /* want light on the y side */
           int64_t la = (int64_t)(meta_amp[ky] & 0x7FFFFFFFU);
@@ -4538,6 +4540,7 @@ int64_t graft_join_native(const uint8_t *arena, const int64_t *offsets,
             (long long)m, _gt1 - _gt0, _gt2 - _gt1, _now() - _gt2,
             (long long)_nverify);
   free(keys);
+  free(tmp);
   free(meta_amp);
   free(meta_slot);
   free(pre);
