@@ -938,12 +938,12 @@ def verify_dist1_pairs(codes, offsets, lengths, pa, pb):
     return good.astype(bool)
 
 
-def graft_join(codes, offsets, lengths, n, heavy_ids, light_ids):
-    """(count, graft_cand) — host radix sort-join of both sides'
-    canonical microvariant hashes with exact midpoint verification
-    (swarm_native.c: graft_join_native). Same contract as
-    models/d1.py:_graft_join; returns None when the key space exceeds
-    the packed-index budget (caller falls back)."""
+#: packed-key budget of graft_join_native (2^28 metadata indices);
+#: module-level so tests can shrink it to exercise the strip path
+GRAFT_KEY_BUDGET = (1 << 28) - 1
+
+
+def _graft_join_once(codes, offsets, lengths, n, heavy_ids, light_ids):
     lib.graft_join_native.restype = ctypes.c_int64
     graft_cand = np.full(n, -1, dtype=np.int64)
     cnt = lib.graft_join_native(
@@ -962,3 +962,55 @@ def graft_join(codes, offsets, lengths, n, heavy_ids, light_ids):
     if cnt < 0:
         raise MemoryError("graft_join_native")
     return int(cnt), graft_cand
+
+
+def graft_join(codes, offsets, lengths, n, heavy_ids, light_ids):
+    """(count, graft_cand) — host radix sort-join of both sides'
+    canonical microvariant hashes with exact midpoint verification
+    (swarm_native.c: graft_join_native). Same contract as
+    models/d1.py:_graft_join. Above the 2^28 packed-key budget the
+    BIGGER side streams in strips (each pair lands in exactly one
+    strip, so counts add and per-light minima merge); returns None only
+    when even a minimal strip cannot fit (pathological lengths)."""
+    res = _graft_join_once(codes, offsets, lengths, n, heavy_ids, light_ids)
+    if res is not None:
+        return res
+
+    heavy_ids = np.ascontiguousarray(heavy_ids, dtype=np.int64)
+    light_ids = np.ascontiguousarray(light_ids, dtype=np.int64)
+    lengths_arr = np.asarray(lengths)
+    big_is_heavy = len(heavy_ids) > len(light_ids)
+    big = heavy_ids if big_is_heavy else light_ids
+    small = light_ids if big_is_heavy else heavy_ids
+
+    budget = GRAFT_KEY_BUDGET
+    small_keys = int((7 * lengths_arr[small] + 4).sum())
+    strip_budget = budget - small_keys
+    big_keys = 7 * lengths_arr[big].astype(np.int64) + 4
+    if len(big) == 0 or strip_budget < int(big_keys.max()):
+        return None  # cannot stream: the small side alone overflows
+    cum = np.cumsum(big_keys)
+
+    total = 0
+    graft_cand = np.full(n, -1, dtype=np.int64)
+    start = 0
+    while start < len(big):
+        base = cum[start - 1] if start else 0
+        end = int(np.searchsorted(cum, base + strip_budget, side="right"))
+        end = max(end, start + 1)
+        strip = big[start:end]
+        if big_is_heavy:
+            res = _graft_join_once(codes, offsets, lengths, n, strip, small)
+        else:
+            res = _graft_join_once(codes, offsets, lengths, n, small, strip)
+        if res is None:
+            return None
+        cnt, cand = res
+        total += cnt
+        both = (graft_cand >= 0) & (cand >= 0)
+        graft_cand = np.where(
+            both, np.minimum(graft_cand, cand),
+            np.where(cand >= 0, cand, graft_cand),
+        )
+        start = end
+    return total, graft_cand

@@ -83,3 +83,60 @@ def test_native_graft_matches_device(tmp_path):
 
     m = re.search(rb"Made (\d+) grafts", r_dev.stderr)
     assert m and int(m.group(1)) > 0, r_dev.stderr[-400:]
+
+
+def test_native_graft_striping(monkeypatch):
+    """The striped big-side path must equal the one-shot join (counts
+    add across strips; per-light minima merge)."""
+    import numpy as np
+
+    from swarm_tpu import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(32)
+    seqs = []
+    base = rng.integers(0, 4, size=70).astype(np.uint8)
+    seen = set()
+    for _ in range(500):
+        v = base.copy()
+        for _ in range(int(rng.integers(0, 4))):
+            v[rng.integers(0, len(v))] = rng.integers(0, 4)
+        if v.tobytes() in seen:
+            continue
+        seen.add(v.tobytes())
+        seqs.append(v)
+    n = len(seqs)
+    codes = np.concatenate(seqs)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    heavy = np.arange(0, n, 3, dtype=np.int64)
+    light = np.setdiff1d(np.arange(n), heavy).astype(np.int64)
+
+    want = _native._graft_join_once(codes, offsets, lengths, n, heavy, light)
+
+    # shrink the budget so graft_join is forced onto the strip path
+    orig = _native._graft_join_once
+    calls = {"n": 0}
+
+    def counting(c, o, L, nn, h, l):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None  # pretend the one-shot overflowed
+        return orig(c, o, L, nn, h, l)
+
+    monkeypatch.setattr(_native, "_graft_join_once", counting)
+    # budget that fits the small side plus ~a third of the big side
+    small_keys = int((7 * lengths[heavy] + 4).sum())
+    big_keys = int((7 * lengths[light] + 4).sum())
+    monkeypatch.setattr(
+        _native, "GRAFT_KEY_BUDGET", small_keys + big_keys // 3
+    )
+    got = _native.graft_join(codes, offsets, lengths, n, heavy, light)
+    assert calls["n"] > 2  # actually striped
+    assert got[0] == want[0]
+    np.testing.assert_array_equal(got[1], want[1])
