@@ -35,6 +35,7 @@ negatives cannot occur for window >= max key-run length, which is
 enforced by a device-side check with doubling retry.
 """
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -151,13 +152,17 @@ def prepare_network(packed, lengths, zob, width):
 @partial(jax.jit, static_argnames=("width", "lcap", "cap", "cap2", "window"))
 def network_pairs(packed, lengths, zob, width, lcap, cap, cap2, window):
     """Fused join WITHOUT verification: packed codes in, unique candidate
-    pairs out.
+    pairs out, plus one status vector.
 
-    Two-program split (this + verify_pairs) is deliberate: program
-    outputs are relayed to the host at PCIe-tunnel speed on
-    relay-attached TPUs, so each program must emit only O(pairs) data,
-    while device-resident INPUTS (packed) are free to re-pass. A single
-    fully-fused program exceeds the AOT compiler's memory.
+    Two-program split (this + verify_pairs) is deliberate: fusing the
+    verification gathers into this program OOM-kills the relay's AOT
+    compile helper at the 1M-row shape (tpu_compile_helper SIGKILL),
+    and program outputs are relayed to the host at tunnel speed, so
+    each program must emit only O(pairs) data while device-resident
+    INPUTS (packed) are free to re-pass. The status comes back as a
+    single int32[4] ([n_flagged, n_pairs, overflow_run,
+    sentinel_hits]) so the retry loop costs one tiny readback instead
+    of four relay round trips.
 
     lcap (real length cap, 16-bucketed) trims the slot axis below the
     tile-aligned width: at 150 nt / width 192 that is ~17% fewer hash
@@ -170,10 +175,12 @@ def network_pairs(packed, lengths, zob, width, lcap, cap, cap2, window):
     )
     n = padded.shape[0]
     owner = jnp.where(valid, jnp.arange(n, dtype=jnp.int32)[:, None], -1)
-    return join_pairs(
+    pa, pb, n_flagged, n_pairs, overflow_run, sentinel_hits = join_pairs(
         keys_hi.reshape(-1), keys_lo.reshape(-1), owner.reshape(-1), n,
         cap=cap, cap2=cap2, window=window,
     )
+    status = jnp.stack([n_flagged, n_pairs, overflow_run, sentinel_hits])
+    return pa, pb, status
 
 
 @partial(jax.jit, static_argnames=("width",))
@@ -183,10 +190,8 @@ def verify_pairs(packed, lengths, pa, pb, width):
     ok = pa >= 0
     pa_c = jnp.maximum(pa, 0)
     pb_c = jnp.maximum(pb, 0)
-    rows_a = padded[pa_c]
-    rows_b = padded[pb_c]
     return ok & _verify_dist1_rows(
-        rows_a, rows_b, lengths[pa_c], lengths[pb_c]
+        padded[pa_c], padded[pb_c], lengths[pa_c], lengths[pb_c]
     )
 
 
@@ -347,8 +352,56 @@ def verify_dist1(
 
 
 # (cap, cap2, window) that last succeeded per (n_pad, width) — skips
-# wasted undersized attempts on repeat runs within a process
+# wasted undersized attempts on repeat runs within a process, and is
+# persisted next to the XLA compile cache so FRESH processes start at
+# the params whose program that cache already holds (an undersized
+# first attempt costs a full recompile, minutes on relay-attached TPUs)
 _LAST_GOOD_PARAMS = {}
+
+
+def _params_path():
+    from .neighbors_jax import _CACHE_DIR
+
+    if not _CACHE_DIR or _CACHE_DIR == "0":
+        return None
+    return os.path.join(_CACHE_DIR, "join_params.json")
+
+
+def _load_good_params():
+    path = _params_path()
+    if path is None:
+        return
+    try:
+        import json
+
+        with open(path) as fh:
+            for k, v in json.load(fh).items():
+                _LAST_GOOD_PARAMS.setdefault(
+                    tuple(int(x) for x in k.split(",")), tuple(v)
+                )
+    except (OSError, ValueError):
+        pass
+
+
+def _save_good_params():
+    path = _params_path()
+    if path is None:
+        return
+    try:
+        import json
+
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {",".join(map(str, k)): v for k, v in _LAST_GOOD_PARAMS.items()},
+                fh,
+            )
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+_load_good_params()
 
 
 class SentinelCollision(RuntimeError):
@@ -411,26 +464,31 @@ class SortJoinNeighborEngine:
                 max(cap, cached[0]), max(cap2, cached[1]), max(window, cached[2])
             )
         while True:
-            pa, pb, n_flagged, n_pairs, over, sentinel_hits = network_pairs(
+            pa, pb, status = network_pairs(
                 packed, lengths, self.zob, width=self.width,
                 lcap=self.lcap, cap=cap, cap2=cap2, window=window,
             )
-            if int(sentinel_hits) > 0:
+            n_flagged, n_pairs, over, sentinel_hits = (
+                int(x) for x in np.asarray(status)
+            )
+            if sentinel_hits > 0:
                 raise SentinelCollision(
                     "a real deletion key equals the invalid-key sentinel"
                 )
-            if int(over) > 0:
+            if over > 0:
                 window *= 2
                 continue
-            if int(n_flagged) > cap:
+            if n_flagged > cap:
                 cap *= 2
                 cap2 = max(cap2, cap)
                 continue
-            if int(n_pairs) > cap2:
+            if n_pairs > cap2:
                 cap2 *= 2
                 continue
             break
-        _LAST_GOOD_PARAMS[shape_key] = (cap, cap2, window)
+        if _LAST_GOOD_PARAMS.get(shape_key) != (cap, cap2, window):
+            _LAST_GOOD_PARAMS[shape_key] = (cap, cap2, window)
+            _save_good_params()
 
         from .. import metrics
 
