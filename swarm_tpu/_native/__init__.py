@@ -964,14 +964,58 @@ def _graft_join_once(codes, offsets, lengths, n, heavy_ids, light_ids):
     return int(cnt), graft_cand
 
 
+#: table-side key ceiling for the asymmetric probe join: keeps the
+#: open-addressing table (2 x keys x 8 B) and bitset inside the cache
+#: hierarchy, where a probe costs nanoseconds; past it the radix
+#: sort-join's sequential passes win. Env override for tuning.
+GRAFT_PROBE_MAX_TABLE_KEYS = int(
+    os.environ.get("SWARM_TPU_GRAFT_PROBE_MAX", str(2 << 20))
+)
+
+
+def _graft_probe_once(codes, offsets, lengths, n, heavy_ids, light_ids):
+    lib.graft_probe_native.restype = ctypes.c_int64
+    graft_cand = np.full(n, -1, dtype=np.int64)
+    cnt = lib.graft_probe_native(
+        _ptr(np.ascontiguousarray(codes, dtype=np.uint8)),
+        _ptr(np.ascontiguousarray(offsets, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(lengths, dtype=np.int64)),
+        ctypes.c_int64(n),
+        _ptr(np.ascontiguousarray(heavy_ids, dtype=np.int64)),
+        ctypes.c_int64(len(heavy_ids)),
+        _ptr(np.ascontiguousarray(light_ids, dtype=np.int64)),
+        ctypes.c_int64(len(light_ids)),
+        _ptr(graft_cand),
+    )
+    if cnt == -3:
+        return None
+    if cnt < 0:
+        raise MemoryError("graft_probe_native")
+    return int(cnt), graft_cand
+
+
 def graft_join(codes, offsets, lengths, n, heavy_ids, light_ids):
-    """(count, graft_cand) — host radix sort-join of both sides'
-    canonical microvariant hashes with exact midpoint verification
-    (swarm_native.c: graft_join_native). Same contract as
-    models/d1.py:_graft_join. Above the 2^28 packed-key budget the
-    BIGGER side streams in strips (each pair lands in exactly one
-    strip, so counts add and per-light minima merge); returns None only
-    when even a minimal strip cannot fit (pathological lengths)."""
+    """(count, graft_cand) — host graft join of both sides' canonical
+    microvariant hashes with exact midpoint verification. Same contract
+    as models/d1.py:_graft_join.
+
+    Engine selection mirrors the device side: when one side's variant
+    keys fit a cache-resident hash table, the asymmetric probe
+    (swarm_native.c: graft_probe_native) tables it and streams the
+    other side amplicon by amplicon — no big-side key array, no radix.
+    Balanced sides use the radix sort-join (graft_join_native). Above
+    the 2^28 packed-key budget the BIGGER side streams in strips (each
+    pair lands in exactly one strip, so counts add and per-light minima
+    merge); returns None only when even a minimal strip cannot fit
+    (pathological lengths)."""
+    lengths_arr = np.asarray(lengths)
+    hk = int((7 * lengths_arr[np.asarray(heavy_ids, dtype=np.int64)] + 4).sum())
+    lk = int((7 * lengths_arr[np.asarray(light_ids, dtype=np.int64)] + 4).sum())
+    if 0 < min(hk, lk) <= GRAFT_PROBE_MAX_TABLE_KEYS:
+        res = _graft_probe_once(codes, offsets, lengths, n, heavy_ids, light_ids)
+        if res is not None:
+            return res
+
     res = _graft_join_once(codes, offsets, lengths, n, heavy_ids, light_ids)
     if res is not None:
         return res

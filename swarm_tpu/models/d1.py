@@ -416,13 +416,26 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
     backend = index._resolve_backend()
     graft_mode_env = os.environ.get("SWARM_TPU_GRAFT", "")
     native_res = None
+    lengths_i64 = db.lengths.astype(np.int64)
+    min_side_keys = min(
+        int((7 * lengths_i64[heavy_amps] + 4).sum()),
+        int((7 * lengths_i64[light_amps] + 4).sum()),
+    )
+    asym_native = (
+        graft_mode_env == ""
+        and backend != "jax_shard"  # sharded runs keep the mesh join
+        and min_side_keys <= getattr(_native, "GRAFT_PROBE_MAX_TABLE_KEYS", 0)
+    )
     if (
         _native.available()
-        and (graft_mode_env == "native" or backend == "numpy")
+        and (graft_mode_env == "native" or backend == "numpy" or asym_native)
     ):
-        # host radix sort-join over both sides' variant hashes — the
-        # fast path when no (healthy) accelerator is attached, and the
-        # explicit SWARM_TPU_GRAFT=native choice
+        # host paths (asymmetric probe / radix sort-join, see
+        # _native.graft_join): the fast path when no healthy
+        # accelerator is attached, when one side's variant keys fit a
+        # cache-resident table (the probe beats every device engine —
+        # no relay transfers, ~1s at 200k), and the explicit
+        # SWARM_TPU_GRAFT=native choice
         native_res = _native.graft_join(
             db.codes, db.offsets, db.lengths, n,
             np.asarray(heavy_amps, dtype=np.int64),

@@ -292,20 +292,34 @@ class GraftEngine:
         )
 
     #: device key budget for the one-shot sort-join (keys are 16 bytes
-    #: across four sort operands; the sort roughly doubles residency)
-    MAX_JOIN_KEYS = 300_000_000
+    #: across four sort operands; the sort roughly doubles residency).
+    #: Also a COMPILE budget: a 283M-key sort program wedged the relay's
+    #: remote-compile service for 20+ minutes (observed at 200k heavy x
+    #: 108 light); programs near 160M keys compile in minutes and run
+    #: in ~1.5s, so the ceiling stays under that envelope.
+    MAX_JOIN_KEYS = 192_000_000
+
+    #: below this many SMALL-side keys the asymmetric probe engine wins:
+    #: the whole-stream sort pays sort((n_big + n_small) * S) to find
+    #: matches a (tiny) sorted table + bitset answers with one linear
+    #: pass over the big side's keys — the reference's own asymmetry
+    #: (light variants in a Bloom filter, heavy variants probing it,
+    #: src/algod1.cc:374-552)
+    ASYM_TABLE_KEYS = 8_000_000
 
     def graft_candidates(self, heavy_amps: np.ndarray, light_amps: np.ndarray):
         """(count, graft_cand[n]) — same contract as models/d1.py:_graft_join.
 
-        Default engine: the whole-join sort formulation
-        (graft_join_sorted) — both sides' variant keys in ONE lax.sort,
-        cross-side pairs from windowed runs. When the key volume
-        exceeds MAX_JOIN_KEYS, the bigger side streams in fixed strips
-        (the smaller side's keys ride along in every strip; each pair
-        has exactly one big-side entry, so strip totals add and
-        per-light minima merge). SWARM_TPU_GRAFT=chunked selects the
-        old bitset/searchsorted probe engine.
+        Engine selection: when one side is tiny (its variant keys fit
+        ASYM_TABLE_KEYS) the bitset/searchsorted probe engine tables it
+        and streams the big side — the asymmetric formulation. Balanced
+        sides use the whole-join sort (both sides' variant keys in ONE
+        lax.sort, cross-side pairs from windowed runs). When the key
+        volume exceeds MAX_JOIN_KEYS, the bigger side streams in fixed
+        strips (the smaller side's keys ride along in every strip; each
+        pair has exactly one big-side entry, so strip totals add and
+        per-light minima merge). SWARM_TPU_GRAFT=chunked forces the
+        probe engine, =sorted forces the sort engine.
         """
         import os
 
@@ -313,6 +327,10 @@ class GraftEngine:
             return self._graft_candidates_chunked(heavy_amps, light_amps)
         if len(heavy_amps) == 0 or len(light_amps) == 0:
             return 0, np.full(self.n, -1, dtype=np.int64)
+        if os.environ.get("SWARM_TPU_GRAFT") != "sorted":
+            n_small = min(len(heavy_amps), len(light_amps))
+            if n_small * (7 * self.width + 4) <= self.ASYM_TABLE_KEYS:
+                return self._graft_candidates_chunked(heavy_amps, light_amps)
 
         C = self.KEYGEN_CHUNK
         # slot layout truncated to the corpus's real length cap

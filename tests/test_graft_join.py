@@ -130,7 +130,10 @@ def test_native_graft_striping(monkeypatch):
         return orig(c, o, L, nn, h, l)
 
     monkeypatch.setattr(_native, "_graft_join_once", counting)
-    # budget that fits the small side plus ~a third of the big side
+    # budget that fits the small side plus ~a third of the big side;
+    # the asymmetric probe would short-circuit the whole exercise, so
+    # disable it for this test
+    monkeypatch.setattr(_native, "GRAFT_PROBE_MAX_TABLE_KEYS", 0)
     small_keys = int((7 * lengths[heavy] + 4).sum())
     big_keys = int((7 * lengths[light] + 4).sum())
     monkeypatch.setattr(
@@ -140,3 +143,44 @@ def test_native_graft_striping(monkeypatch):
     assert calls["n"] > 2  # actually striped
     assert got[0] == want[0]
     np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_native_probe_matches_radix():
+    """The asymmetric probe join (graft_probe_native) is a drop-in for
+    the radix sort-join: identical counts and graft candidates across
+    side imbalances, including table-side = heavy."""
+    import numpy as np
+
+    from swarm_tpu import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(77)
+    seqs = []
+    seen = set()
+    for _ in range(80):
+        base = rng.integers(0, 4, size=int(rng.integers(50, 90))).astype(
+            np.uint8
+        )
+        for _ in range(6):
+            v = base.copy()
+            for _ in range(int(rng.integers(0, 3))):
+                p = int(rng.integers(0, len(v)))
+                v[p] = (v[p] + 1 + rng.integers(0, 3)) % 4
+            if v.tobytes() not in seen:
+                seen.add(v.tobytes())
+                seqs.append(v)
+    n = len(seqs)
+    codes = np.concatenate(seqs)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    for split in (n // 10, n // 2, n - n // 10):
+        heavy = np.arange(0, split, dtype=np.int64)
+        light = np.arange(split, n, dtype=np.int64)
+        want = _native._graft_join_once(codes, offsets, lengths, n, heavy, light)
+        got = _native._graft_probe_once(codes, offsets, lengths, n, heavy, light)
+        assert got[0] == want[0]
+        np.testing.assert_array_equal(got[1], want[1])
