@@ -372,7 +372,9 @@ def write_swarms_plain(arena: "HeaderArena", append_ab, usearch,
                        members, bounds, attached) -> bytes:
     total = int(arena.hdr_len[members].sum()) if len(members) else 0
     cap = total + 32 * len(members) + 2 * len(bounds) + 64
-    out = ctypes.create_string_buffer(cap)
+    # np.empty, not create_string_buffer: the ctypes buffer zero-fills
+    # its (tens of MB) capacity before the writer overwrites it
+    out = np.empty(cap, dtype=np.uint8)
     w = lib.write_swarms_plain(
         _ptr(arena.arena), _ptr(arena.hdr_off), _ptr(arena.hdr_len),
         _ptr(arena.ab_start), _ptr(arena.ab_end), _ptr(arena.abundance),
@@ -380,11 +382,11 @@ def write_swarms_plain(arena: "HeaderArena", append_ab, usearch,
         _ptr(np.ascontiguousarray(members, dtype=np.int64)),
         _ptr(np.ascontiguousarray(bounds, dtype=np.int64)),
         _ptr(np.ascontiguousarray(attached, dtype=np.uint8)),
-        ctypes.c_int64(len(bounds) - 1), out, ctypes.c_int64(cap),
+        ctypes.c_int64(len(bounds) - 1), _ptr(out), ctypes.c_int64(cap),
     )
     if w < 0:
         raise MemoryError("write_swarms_plain buffer")
-    return out.raw[:w]
+    return out[:w].tobytes()
 
 
 def write_stats_d1(arena: "HeaderArena", usearch, seed, size, mass,
@@ -392,7 +394,7 @@ def write_stats_d1(arena: "HeaderArena", usearch, seed, size, mass,
     nswarms = len(seed)
     seeds_arr = np.ascontiguousarray(seed, dtype=np.int64)
     cap = int(arena.hdr_len[seeds_arr].sum()) + 176 * nswarms + 64 if nswarms else 64
-    out = ctypes.create_string_buffer(cap)
+    out = np.empty(cap, dtype=np.uint8)
     w = lib.write_stats_d1(
         _ptr(arena.arena), _ptr(arena.hdr_off), _ptr(arena.hdr_len),
         _ptr(arena.ab_start), _ptr(arena.ab_end), _ptr(arena.abundance),
@@ -403,11 +405,11 @@ def write_stats_d1(arena: "HeaderArena", usearch, seed, size, mass,
         _ptr(np.ascontiguousarray(singletons, dtype=np.int64)),
         _ptr(np.ascontiguousarray(maxgen, dtype=np.int64)),
         _ptr(np.ascontiguousarray(attached, dtype=np.uint8)),
-        ctypes.c_int64(nswarms), out, ctypes.c_int64(cap),
+        ctypes.c_int64(nswarms), _ptr(out), ctypes.c_int64(cap),
     )
     if w < 0:
         raise MemoryError("write_stats_d1 buffer")
-    return out.raw[:w]
+    return out[:w].tobytes()
 
 
 if lib is not None:

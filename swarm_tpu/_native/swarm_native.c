@@ -1002,6 +1002,21 @@ int nw_align_banded(const uint8_t *dseq, int64_t dlen, const uint8_t *qseq,
 /* output writers (reference src/algod1.cc:791-815, 1043-1062)         */
 /* ------------------------------------------------------------------ */
 
+/* unsigned decimal emitter: sprintf("%lld") costs ~300ns a call and
+ * the stats/swarms writers print millions of integers (622k swarms at
+ * the 1M bench = 0.5s of sprintf alone); this is ~15ns */
+static inline int64_t emit_u64(uint64_t v, char *out) {
+  char buf[20];
+  int k = 0;
+  do {
+    buf[k++] = (char)('0' + (v % 10));
+    v /= 10;
+  } while (v);
+  for (int i = 0; i < k; i++)
+    out[i] = buf[k - 1 - i];
+  return k;
+}
+
 /* print_id (src/db.cc:946-975): header, plus appended abundance when
  * -a is active and the header has no annotation */
 static int64_t emit_id(const uint8_t *hdr, int64_t hlen, int32_t ab_s,
@@ -1010,10 +1025,15 @@ static int64_t emit_id(const uint8_t *hdr, int64_t hlen, int32_t ab_s,
   memcpy(out, hdr, (size_t)hlen);
   int64_t w = hlen;
   if (append_ab != 0 && ab_s == ab_e) {
-    if (usearch)
-      w += sprintf(out + w, ";size=%lld;", (long long)ab);
-    else
-      w += sprintf(out + w, "_%lld", (long long)ab);
+    if (usearch) {
+      memcpy(out + w, ";size=", 6);
+      w += 6;
+      w += emit_u64((uint64_t)ab, out + w);
+      out[w++] = ';';
+    } else {
+      out[w++] = '_';
+      w += emit_u64((uint64_t)ab, out + w);
+    }
   }
   return w;
 }
@@ -1077,13 +1097,21 @@ int64_t write_stats_d1(
     int64_t a = seed[s];
     if (w + hdr_len[a] + 160 > out_cap)
       return -1;
-    w += sprintf(out + w, "%lld\t%lld\t", (long long)size[s],
-                 (long long)mass[s]);
+    w += emit_u64((uint64_t)size[s], out + w);
+    out[w++] = '\t';
+    w += emit_u64((uint64_t)mass[s], out + w);
+    out[w++] = '\t';
     w += emit_id_noab(hdr_arena + hdr_off[a], hdr_len[a], ab_start[a],
                       ab_end[a], usearch, out + w);
-    w += sprintf(out + w, "\t%lld\t%lld\t%lld\t%lld\n",
-                 (long long)abundance[a], (long long)singletons[s],
-                 (long long)maxgen[s], (long long)maxgen[s]);
+    out[w++] = '\t';
+    w += emit_u64((uint64_t)abundance[a], out + w);
+    out[w++] = '\t';
+    w += emit_u64((uint64_t)singletons[s], out + w);
+    out[w++] = '\t';
+    w += emit_u64((uint64_t)maxgen[s], out + w);
+    out[w++] = '\t';
+    w += emit_u64((uint64_t)maxgen[s], out + w);
+    out[w++] = '\n';
   }
   return w;
 }
@@ -3544,12 +3572,18 @@ static int64_t emit_id_newab(const uint8_t *hdr, int64_t hlen, int32_t ab_s,
     int64_t w = ab_s;
     if (ab_s > 0)
       out[w++] = ';';
-    w += sprintf(out + w, "size=%lld;", (long long)ab);
+    memcpy(out + w, "size=", 5);
+    w += 5;
+    w += emit_u64((uint64_t)ab, out + w);
+    out[w++] = ';';
     memcpy(out + w, hdr + ab_e, (size_t)(hlen - ab_e));
     return w + (hlen - ab_e);
   }
   memcpy(out, hdr, (size_t)ab_s);
-  return ab_s + sprintf(out + ab_s, "_%lld", (long long)ab);
+  int64_t w = ab_s;
+  out[w++] = '_';
+  w += emit_u64((uint64_t)ab, out + w);
+  return w;
 }
 
 typedef struct {

@@ -87,10 +87,13 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
     # --- hashing phase: exact duplicate-sequence check ---
     from .. import _native
 
-    # start the device upload before the host-side hashing phase (the
-    # transfer is asynchronous and rides under it)
+    # start the device upload AND the join dispatch before the
+    # host-side hashing phase: the device sorts while the host runs
+    # the duplicate check (a dup fatal just abandons the speculative
+    # dispatch — it produces no output)
     index = NeighborIndex(db, threads=p.opt_threads)
     index.prefetch()
+    index.start_network()
 
     progress.init("Hashing sequences:", n)
     dup_msg = (

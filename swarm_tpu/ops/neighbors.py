@@ -313,6 +313,45 @@ class NeighborIndex:
             except Exception:
                 self._engine = None
 
+    def start_network(self) -> None:
+        """Dispatch the device join BEFORE the hashing phase: the sort
+        runs on the device while the host does the duplicate-sequence
+        check, so the two costs overlap instead of adding. Only the
+        single-table jax sort-join path dispatches; everything else is
+        a no-op (the host engines have no async story, and a fatal in
+        the hashing phase just abandons the speculative work with no
+        output-stream difference)."""
+        import os as _os
+
+        from .. import _native
+
+        requested = _os.environ.get("SWARM_TPU_BACKEND", "auto")
+        native_max = int(
+            _os.environ.get("SWARM_TPU_D1_NATIVE_MAX", str(self.NATIVE_MAX))
+        )
+        if _native.available() and (
+            requested == "auto" and len(self.lengths) < native_max
+        ):
+            return  # the native host builder will run
+        if self._resolve_backend() != "jax":
+            return
+        from .neighbors_sortjoin import BucketedSortJoinEngine
+
+        bucket_env = _os.environ.get("SWARM_TPU_D1_BUCKETS", "")
+        if bucket_env == "1" or (
+            bucket_env != "0"
+            and BucketedSortJoinEngine.worthwhile(self.lengths)
+        ):
+            return  # bucketed path: no pre-dispatch (rare shape)
+        try:
+            from .neighbors_sortjoin import SortJoinNeighborEngine
+
+            if self._engine is None:
+                self._engine = SortJoinNeighborEngine(self.db)
+            self._engine.start()
+        except Exception:
+            self._engine = None
+
     def _resolve_backend(self) -> str:
         if self.backend in ("numpy", "jax", "jax_probe", "jax_shard"):
             return self.backend

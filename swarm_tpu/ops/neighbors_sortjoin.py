@@ -160,9 +160,9 @@ def network_pairs(packed, lengths, zob, width, lcap, cap, cap2, window):
     and program outputs are relayed to the host at tunnel speed, so
     each program must emit only O(pairs) data while device-resident
     INPUTS (packed) are free to re-pass. The status comes back as a
-    single int32[4] ([n_flagged, n_pairs, overflow_run,
-    sentinel_hits]) so the retry loop costs one tiny readback instead
-    of four relay round trips.
+    single int32[4] ([n_flagged, n_pairs, overflow_run, 0]) so the
+    retry loop costs one tiny readback instead of four relay round
+    trips.
 
     lcap (real length cap, 16-bucketed) trims the slot axis below the
     tile-aligned width: at 150 nt / width 192 that is ~17% fewer hash
@@ -175,11 +175,13 @@ def network_pairs(packed, lengths, zob, width, lcap, cap, cap2, window):
     )
     n = padded.shape[0]
     owner = jnp.where(valid, jnp.arange(n, dtype=jnp.int32)[:, None], -1)
-    pa, pb, n_flagged, n_pairs, overflow_run, sentinel_hits = join_pairs(
+    pa, pb, n_flagged, n_pairs, overflow_run = join_pairs(
         keys_hi.reshape(-1), keys_lo.reshape(-1), owner.reshape(-1), n,
         cap=cap, cap2=cap2, window=window,
     )
-    status = jnp.stack([n_flagged, n_pairs, overflow_run, sentinel_hits])
+    status = jnp.stack(
+        [n_flagged, n_pairs, overflow_run, jnp.zeros((), jnp.int32)]
+    )
     return pa, pb, status
 
 
@@ -231,71 +233,94 @@ def join_pairs(
 ):
     """Unique candidate pairs (pa < pb) sharing a deletion key.
 
-    Returns (pa [cap2], pb [cap2], n_flagged, n_unique, overflow_run);
+    Returns (pa [cap2], pb [cap2], n_flagged, n_pairs, overflow_run);
     filler slots hold -1. Retry with a bigger cap / cap2 / window when
-    n_flagged > cap / n_unique > cap2 / overflow_run > 0.
+    n_flagged > cap / n_pairs > cap2 / overflow_run > 0.
+
+    TPU shape of the hot path:
+      * the sort moves 8 bytes per key, not 12 — the second sort word
+        packs (top bits of keys_lo << OB) | owner, so the owner rides
+        inside the key instead of as a third operand (a 1/3 traffic
+        cut on the dominant cost). Truncating keys_lo only ADDS
+        candidate pairs (same 64-bit keys stay equal), and the exact
+        dist-1 verifier rejects them; false negatives are impossible.
+      * invalid slots carry the all-ones sentinel in both words; a
+        real key can never equal it because real owners are < 2^OB-1,
+        so the sentinel-collision fallback of the 3-operand design is
+        structurally unnecessary.
+      * sorted equal keys are CONTIGUOUS, so "i matches something
+        within the window" is exactly eq1[i] (adjacent equality): the
+        flag pass materializes one bool array instead of `window`
+        shifted comparisons, and the per-j partner checks gather the
+        two sorted words directly instead of indexing `window` full-
+        length masks.
     """
     M = keys_hi.shape[0]
-    # invalid keys (owner < 0) alias their row's other hashes (masked
-    # scan tails degenerate to the sequence hash), so they must sort
-    # AFTER every valid key — otherwise they pad real runs past the
-    # window. Overwriting them with the all-ones sentinel is cheaper
-    # than a fourth sort operand; the (~ M * 2^-64) event of a REAL key
-    # equal to the sentinel is detected and reported via sentinel_hits
-    # so the caller can fall back to an exact host path.
-    invalid = owner < 0
+    ob = max(int(n).bit_length(), 8)  # owner field bits; n < 2^ob - 1
+    lb = max(32 - ob, 0)  # keys_lo bits that still discriminate
     sent = jnp.uint32(0xFFFFFFFF)
-    sentinel_hits = jnp.sum(
-        (~invalid) & (keys_hi == sent) & (keys_lo == sent), dtype=jnp.int32
-    )
+    invalid = owner < 0
+    if lb > 0:
+        k2 = ((keys_lo >> (32 - lb)) << ob) | owner.astype(jnp.uint32)
+    else:
+        k2 = owner.astype(jnp.uint32)
     keys_hi = jnp.where(invalid, sent, keys_hi)
-    keys_lo = jnp.where(invalid, sent, keys_lo)
-    s_hi, s_lo, s_own = jax.lax.sort(
-        (keys_hi, keys_lo, owner), num_keys=2
-    )
+    k2 = jnp.where(invalid, sent, k2)
+    s_hi, s_k2 = jax.lax.sort((keys_hi, k2), num_keys=2)
 
-    def shifted_eq(j):
-        eq = (s_hi[j:] == s_hi[:-j]) & (s_lo[j:] == s_lo[:-j])
-        eq = eq & (s_own[j:] >= 0) & (s_own[:-j] >= 0)
-        return jnp.concatenate([jnp.zeros(j, dtype=bool), eq])
+    omask = jnp.uint32((1 << ob) - 1)
+    val = s_k2 != sent  # invalid iff both words all-ones; hi can be FF
 
-    eqs = [shifted_eq(j) for j in range(1, window + 1)]
-    anyflag = eqs[0]
-    for e in eqs[1:]:
-        anyflag = anyflag | e
+    def key_eq(a_hi, a_k2, b_hi, b_k2):
+        if lb == 0:
+            return a_hi == b_hi
+        return (a_hi == b_hi) & ((a_k2 >> ob) == (b_k2 >> ob))
 
-    # run longer than window+1 <=> some element equals the one window+1
-    # positions back
-    over = shifted_eq(window + 1) if M > window + 1 else jnp.zeros(1, bool)
-    overflow_run = jnp.sum(over, dtype=jnp.int32)
+    eq1 = key_eq(s_hi[1:], s_k2[1:], s_hi[:-1], s_k2[:-1])
+    eq1 = eq1 & val[1:] & val[:-1]
+    eq1 = jnp.concatenate([jnp.zeros(1, dtype=bool), eq1])
 
-    n_flagged = jnp.sum(anyflag, dtype=jnp.int32)
+    n_flagged = jnp.sum(eq1, dtype=jnp.int32)
     # two-level compaction: flagged elements are sparse, so first select
-    # the 32-element words containing any flag (32x smaller nonzero),
-    # then expand only those words — ~3x faster than one nonzero over M
-    M32 = -(-M // 32) * 32
+    # the 16-element words containing any flag, then expand only those
+    # words — far cheaper than one nonzero over M
+    W16 = 16
+    M16 = -(-M // W16) * W16
     af = jnp.concatenate(
-        [anyflag, jnp.zeros(M32 - M, dtype=bool)]
-    ).reshape(-1, 32)
+        [eq1, jnp.zeros(M16 - M, dtype=bool)]
+    ).reshape(-1, W16)
     wflag = jnp.any(af, axis=1)
     n_words = jnp.sum(wflag, dtype=jnp.int32)
     (wsel,) = jnp.nonzero(wflag, size=cap, fill_value=0)
     w_picked = jnp.arange(cap, dtype=jnp.int32) < n_words
-    bits = af[wsel] & w_picked[:, None]  # [cap, 32]
-    flat_idx = wsel[:, None] * 32 + jnp.arange(32, dtype=jnp.int32)[None, :]
-    cand = jnp.where(bits, flat_idx, M32).reshape(-1)  # ascending order
-    (sel2,) = jnp.nonzero(cand < M32, size=cap, fill_value=0)
+    bits = af[wsel] & w_picked[:, None]  # [cap, 16]
+    flat_idx = (
+        wsel[:, None] * W16 + jnp.arange(W16, dtype=jnp.int32)[None, :]
+    )
+    cand = jnp.where(bits, flat_idx, M16).reshape(-1)  # ascending order
+    (sel2,) = jnp.nonzero(cand < M16, size=cap, fill_value=0)
     sel = jnp.minimum(cand[sel2], M - 1)
     # valid selections are the prefix (nonzero returns ascending indices)
     picked = jnp.arange(cap, dtype=jnp.int32) < n_flagged
 
-    a_col = jnp.where(picked, s_own[sel], -1)  # [cap]
+    a_hi = s_hi[sel]
+    a_k2 = s_k2[sel]
+    a_col = jnp.where(picked, (a_k2 & omask).astype(jnp.int32), -1)
     pl_cols, ph_cols = [], []
-    for j in range(1, window + 1):
+    over = jnp.zeros((), dtype=jnp.int32)
+    for j in range(1, window + 2):
         prev = jnp.clip(sel - j, 0, M - 1)
-        ok = picked & eqs[j - 1][sel]
-        b_col = jnp.where(ok, s_own[prev], -1)
-        ok = ok & (b_col != a_col) & (b_col >= 0)
+        b_hi = s_hi[prev]
+        b_k2 = s_k2[prev]
+        ok = picked & (sel >= j) & key_eq(a_hi, a_k2, b_hi, b_k2)
+        ok = ok & val[prev]
+        if j == window + 1:
+            # an equal key window+1 back means the run is longer than
+            # the window can enumerate => escalate
+            over = jnp.sum(ok, dtype=jnp.int32)
+            break
+        b_col = jnp.where(ok, (b_k2 & omask).astype(jnp.int32), -1)
+        ok = ok & (b_col != a_col)
         pl_cols.append(jnp.where(ok, jnp.minimum(a_col, b_col), n))
         ph_cols.append(jnp.where(ok, jnp.maximum(a_col, b_col), n))
     plo = jnp.stack(pl_cols, axis=1).reshape(-1)  # [cap*window]
@@ -306,11 +331,11 @@ def join_pairs(
     # verified list instead)
     is_pair = plo < n
     n_pairs = jnp.sum(is_pair, dtype=jnp.int32)
-    (sel2,) = jnp.nonzero(is_pair, size=cap2, fill_value=0)
+    (sel3,) = jnp.nonzero(is_pair, size=cap2, fill_value=0)
     picked2 = jnp.arange(cap2, dtype=jnp.int32) < n_pairs
-    pa = jnp.where(picked2, plo[sel2], -1)
-    pb = jnp.where(picked2, phi[sel2], -1)
-    return pa, pb, n_flagged, n_pairs, overflow_run, sentinel_hits
+    pa = jnp.where(picked2, plo[sel3], -1)
+    pb = jnp.where(picked2, phi[sel3], -1)
+    return pa, pb, n_flagged, n_pairs, over
 
 
 def verify_dist1(
@@ -417,57 +442,127 @@ def _row_bucket(n: int) -> int:
     return ((n + step - 1) // step) * step
 
 
+# content-addressed device residency: CLI runs are stateless (a fresh
+# engine per invocation), but the serving pattern re-clusters the same
+# corpus (plain run, then -f; parameter sweeps; the resident server).
+# A blake2b of the packed codes costs ~50 ms at 1M amplicons; the
+# host-mediated relay H2D it skips costs ~1-2 s. One entry: the cache
+# bounds HBM at a single resident corpus.
+_DEVICE_ARRAY_CACHE = {}
+
+
 class SortJoinNeighborEngine:
     """Whole-database d=1 network via one global device sort-join."""
 
     def __init__(self, db):
-        from .neighbors import pad_codes
-
         n = len(db)
         self.n = n
+        self.db = db
         max_len = max(int(db.longest), 1)
         self.width = _round_up(max_len, 64)
         # slot-axis cap: the real length ceiling, 16-bucketed — slots
         # beyond it are tile padding and generate no valid keys
         self.lcap = min(_round_up(max_len, 16), self.width)
         self.n_pad = _row_bucket(max(n, 1))
-        padded = np.zeros((self.n_pad, self.width), dtype=np.uint8)
-        padded[:n] = pad_codes(db.codes, db.offsets, db.lengths, self.width)
-        self.padded_np = padded
-        lengths = np.zeros(self.n_pad, dtype=np.int32)
-        lengths[:n] = db.lengths
-        self.lengths_np = lengths
         self.zob = jnp.asarray(make_zobrist_pair(self.width))
         self._device = None
+        self._pending = None
 
-    def _device_arrays(self):
-        if self._device is None:
-            packed = jnp.asarray(pack2bit(self.padded_np))
-            lengths = jnp.asarray(self.lengths_np)
-            self._device = (packed, lengths)
-        return self._device
-
-    def build_network(self, no_break: bool, abundances: np.ndarray):
-        n = self.n
-        if n == 0:
-            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-
-        packed, lengths = self._device_arrays()
-
+    def _params(self):
         shape_key = (self.n_pad, self.width, self.lcap)
-        cap = 1 << max(14, (n - 1).bit_length())  # ~n flagged keys typical
+        cap = 1 << max(14, (self.n - 1).bit_length())
         cap2 = cap
         window = 8
         cached = _LAST_GOOD_PARAMS.get(shape_key)
         if cached:
             cap, cap2, window = (
-                max(cap, cached[0]), max(cap2, cached[1]), max(window, cached[2])
+                max(cap, cached[0]), max(cap2, cached[1]),
+                max(window, cached[2]),
             )
+        return shape_key, cap, cap2, window
+
+    def start(self) -> None:
+        """Dispatch join + verify asynchronously at the cached params.
+        build_network consumes the result; a later cap retry just
+        discards the speculative programs."""
+        _, cap, cap2, window = self._params()
+        packed, lengths = self._device_arrays()
+        pa, pb, status = network_pairs(
+            packed, lengths, self.zob, width=self.width,
+            lcap=self.lcap, cap=cap, cap2=cap2, window=window,
+        )
+        good = verify_pairs(packed, lengths, pa, pb, width=self.width)
+        self._pending = ((cap, cap2, window), pa, pb, good, status)
+
+    def _device_arrays(self):
+        if self._device is None:
+            import hashlib
+
+            db = self.db
+            # content key over the RAW arena: on a hit (the serving
+            # pattern: re-clustering the resident corpus) the pad +
+            # 2-bit pack are skipped along with the H2D
+            h = hashlib.blake2b(db.codes, digest_size=16)
+            h.update(np.ascontiguousarray(db.lengths))
+            key = (self.n_pad, self.width, h.hexdigest())
+            hit = _DEVICE_ARRAY_CACHE.get(key)
+            if hit is None:
+                from .neighbors import pad_codes
+
+                padded = np.zeros((self.n_pad, self.width), dtype=np.uint8)
+                padded[: self.n] = pad_codes(
+                    db.codes, db.offsets, db.lengths, self.width
+                )
+                lengths = np.zeros(self.n_pad, dtype=np.int32)
+                lengths[: self.n] = db.lengths
+                _DEVICE_ARRAY_CACHE.clear()
+                hit = (jnp.asarray(pack2bit(padded)), jnp.asarray(lengths))
+                _DEVICE_ARRAY_CACHE[key] = hit
+            self._device = hit
+        return self._device
+
+    def build_network(self, no_break: bool, abundances: np.ndarray):
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        timing = _os.environ.get("SWARM_TPU_TIMING")
+
+        def _t(tag, t0):
+            if timing:
+                _sys.__stderr__.write(
+                    f"[d1join] {tag} {_time.perf_counter() - t0:8.3f}s\n"
+                )
+            return _time.perf_counter()
+
+        n = self.n
+        if n == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+
+        t0 = _time.perf_counter()
+        packed, lengths = self._device_arrays()
+        t0 = _t("pack+H2D", t0)
+
+        shape_key, cap, cap2, window = self._params()
+        pending = self._pending
+        self._pending = None
         while True:
-            pa, pb, status = network_pairs(
-                packed, lengths, self.zob, width=self.width,
-                lcap=self.lcap, cap=cap, cap2=cap2, window=window,
-            )
+            if pending is not None and pending[0] == (cap, cap2, window):
+                # consume the start() dispatch (it ran on the device
+                # under the host's hashing phase)
+                _, pa, pb, good, status = pending
+                pending = None
+            else:
+                pa, pb, status = network_pairs(
+                    packed, lengths, self.zob, width=self.width,
+                    lcap=self.lcap, cap=cap, cap2=cap2, window=window,
+                )
+                # dispatch the verifier BEFORE the status readback:
+                # both programs queue on the device back-to-back, so
+                # the host pays one sync instead of two; a cap retry
+                # (rare — params persist across runs) just discards
+                # the speculative work
+                good = verify_pairs(packed, lengths, pa, pb, width=self.width)
             n_flagged, n_pairs, over, sentinel_hits = (
                 int(x) for x in np.asarray(status)
             )
@@ -486,6 +581,7 @@ class SortJoinNeighborEngine:
                 cap2 *= 2
                 continue
             break
+        t0 = _t("join program+status", t0)
         if _LAST_GOOD_PARAMS.get(shape_key) != (cap, cap2, window):
             _LAST_GOOD_PARAMS[shape_key] = (cap, cap2, window)
             _save_good_params()
@@ -493,11 +589,13 @@ class SortJoinNeighborEngine:
         from .. import metrics
 
         metrics.record(d1_join_comparisons=int(n_pairs))
-        good = verify_pairs(packed, lengths, pa, pb, width=self.width)
 
         good_np = np.asarray(good)
-        pa_np = np.asarray(pa)[good_np].astype(np.int64)
-        pb_np = np.asarray(pb)[good_np].astype(np.int64)
+        pa_all = np.asarray(pa)
+        pb_all = np.asarray(pb)
+        t0 = _t("verify+D2H", t0)
+        pa_np = pa_all[good_np].astype(np.int64)
+        pb_np = pb_all[good_np].astype(np.int64)
 
         # dedup pairs found via several shared keys
         packed_pairs = np.unique(pa_np * np.int64(n) + pb_np)
@@ -511,6 +609,7 @@ class SortJoinNeighborEngine:
             keep = abundances[ef] >= abundances[et]
             ef, et = ef[keep], et[keep]
         order = np.lexsort((et, ef))
+        _t("host dedup+sort", t0)
         return ef[order], et[order]
 
 
@@ -639,17 +738,13 @@ class BucketedSortJoinEngine:
         cap2 = cap
         window = 8
         while True:
-            pa, pb, n_flagged, n_pairs, over, sentinel_hits = (
+            pa, pb, n_flagged, n_pairs, over = (
                 network_pairs_bucketed(
                     packeds, lengthss, owners, self.zob,
                     widths=widths, lcaps=lcaps, n=n,
                     cap=cap, cap2=cap2, window=window,
                 )
             )
-            if int(sentinel_hits) > 0:
-                raise SentinelCollision(
-                    "a real deletion key equals the invalid-key sentinel"
-                )
             if int(over) > 0:
                 window *= 2
                 continue
