@@ -128,8 +128,54 @@ def qgram_join_program(prof_bytes, lengths, tis, tjs, T, n, d, cap_step, cap):
 
 
 # last successful (cap_step, cap) per (n_pad, d) — avoids undersized
-# first attempts on repeat runs within a process
+# first attempts on repeat runs within a process, persisted next to
+# the XLA compile cache (a fresh process that starts at different caps
+# compiles a program the cache does not hold)
 _LAST_GOOD = {}
+
+
+def _params_path():
+    from .neighbors_jax import _CACHE_DIR
+
+    if not _CACHE_DIR or _CACHE_DIR == "0":
+        return None
+    return os.path.join(_CACHE_DIR, "d2_screen_params.json")
+
+
+def _load_good():
+    path = _params_path()
+    if path is None:
+        return
+    try:
+        import json
+
+        with open(path) as fh:
+            for k, v in json.load(fh).items():
+                _LAST_GOOD.setdefault(
+                    tuple(int(x) for x in k.split(",")), tuple(v)
+                )
+    except (OSError, ValueError):
+        pass
+
+
+def _save_good():
+    path = _params_path()
+    if path is None:
+        return
+    try:
+        import json
+
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {",".join(map(str, k)): v for k, v in _LAST_GOOD.items()}, fh
+            )
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+_load_good()
 
 
 class D2NetworkEngine:
@@ -175,7 +221,12 @@ class D2NetworkEngine:
         tjs = jnp.asarray(np.asarray(tjs, dtype=np.int32))
 
         key = (self.n_pad, self.d)
-        cap_step, cap = _LAST_GOOD.get(key, (1 << 16, 1 << 20))
+        # cap_step starts SMALL: the per-step two-level compaction is
+        # O(cap_step * 32) in its index expansion, and at 4096 it costs
+        # ~7 ms/step vs ~26 ms at 65536 (325 steps at 100k amplicons:
+        # 2.3s vs 8.4s screens); an undersized guess retries once and
+        # the winning params persist for later processes
+        cap_step, cap = _LAST_GOOD.get(key, (1 << 12, 1 << 20))
         while True:
             buf_a, buf_b, total, max_step = qgram_join_program(
                 self.prof_dev, self.len_dev, tis, tjs,
@@ -190,7 +241,9 @@ class D2NetworkEngine:
                 cap = 1 << (total - 1).bit_length()
                 continue
             break
-        _LAST_GOOD[key] = (cap_step, cap)
+        if _LAST_GOOD.get(key) != (cap_step, cap):
+            _LAST_GOOD[key] = (cap_step, cap)
+            _save_good()
         pa = np.asarray(buf_a[:total]).astype(np.int64)
         pb = np.asarray(buf_b[:total]).astype(np.int64)
         return pa, pb, total
