@@ -136,3 +136,39 @@ def test_all_outputs_to_stdout_conflict(both):
 def test_mothur_with_statistics_and_seeds(both):
     both.compare(["-r", "-o", "out.txt", "-s", "stats.txt",
                   "-w", "seeds.fasta", "-l", "log.txt"], _fasta(seed=64))
+
+
+# --- no-break / derep / graft-direction interactions ------------------
+
+def test_nobreak_with_fastidious_structure(both):
+    # -n changes the abundance rule both in the d=1 network and in the
+    # graft direction bookkeeping that -i's generation column exposes
+    both.compare(["-n", "-f"] + FULL, _fasta(seed=65))
+
+
+def test_mothur_with_d2_and_append(both):
+    recs = _fasta(seed=66).splitlines(keepends=True)
+    out = []
+    for i, line in enumerate(recs):
+        if line.startswith(">") and (i // 2) % 2 == 0:
+            out.append(line.rsplit("_", 1)[0] + "\n")
+        else:
+            out.append(line)
+    both.compare(["-r", "-d", "2", "-a", "2"] + OUTS, "".join(out))
+
+
+def test_derep_with_mothur_and_usearch(both):
+    both.compare(["-d", "0", "-z", "-r"] + FULL,
+                 _fasta(seed=67, usearch=True))
+
+
+def test_fastidious_heavy_side_smaller(both):
+    # a high -b boundary makes most swarms light, so the graft join
+    # tables the HEAVY side — the probe engine's other orientation
+    both.compare(["-f", "-b", "200"] + FULL,
+                 _fasta(seed=68, cloud_size=6, n_centers=12))
+
+
+def test_stdin_input_with_fastidious(both):
+    both.compare(["-f"] + OUTS + ["-"], None,
+                 stdin_data=_fasta(seed=69).encode())
