@@ -296,24 +296,38 @@ def _d1_finish(p, db, progress, st, index, largest, maxgen_all):
     p.logfile.write(f"Max generations:   {maxgen_all}\n")
 
 
-def _variant_counts(db: Db, amps: np.ndarray, index=None) -> int:
-    """Exact number of variants the reference generates: 6L + 4 + runs."""
-    if index is not None and len(amps):
-        # vectorized over the padded code matrix
-        rows = index.padded[amps]
-        lens = index.lengths[amps]
-        width = rows.shape[1]
-        pos = np.arange(width - 1)[None, :]
-        changes = (rows[:, 1:] != rows[:, :-1]) & (pos < (lens - 1)[:, None])
-        runs = np.where(lens > 0, 1 + changes.sum(axis=1), 0)
-        return int((6 * lens + 4 + runs).sum())
-    total = 0
-    for amp in amps:
-        codes = db.sequence_codes(int(amp))
-        length = len(codes)
-        runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1])) if length else 0
-        total += 6 * length + 4 + runs
-    return total
+def _variant_counts(db: Db, amps: np.ndarray, diff_cumsum=None) -> int:
+    """Exact number of variants the reference generates: 6L + 4 + runs.
+
+    One pass over the flat arena: runs per amplicon come from a cumsum
+    of the adjacent-difference mask, so no [n, width] padded matrix is
+    ever materialized (that cost ~6s of the fastidious log lines at
+    1M amplicons). Pass diff_cumsum (from _diff_cumsum) to share the
+    arena pass between the light and heavy calls."""
+    if len(amps) == 0:
+        return 0
+    lens = db.lengths[amps]
+    c = diff_cumsum if diff_cumsum is not None else _diff_cumsum(db)
+    if c is not None:
+        off = db.offsets[amps]
+        last = np.maximum(off + lens - 1, off)
+        runs = np.where(lens > 0, 1 + c[last] - c[off], 0)
+    else:
+        runs = (lens > 0).astype(np.int64)
+    return int((6 * lens + 4 + runs).sum())
+
+
+def _diff_cumsum(db: Db):
+    """Cumulative adjacent-difference counts over the code arena
+    (c[x] = diffs among the first x adjacent pairs), or None for a
+    degenerate arena."""
+    if len(db.codes) <= 1:
+        return None
+    # int32 while counts fit (int64 would be 1.2 GB at a 150 Mnt arena)
+    dt = np.int32 if len(db.codes) < (1 << 31) else np.int64
+    c = np.zeros(len(db.codes), dtype=dt)
+    np.cumsum(db.codes[1:] != db.codes[:-1], out=c[1:])
+    return c
 
 
 def _fastidious(p, db, progress, st, index, swarmcount, largest):
@@ -402,7 +416,8 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
     from ..progress import replay_range
 
     progress.init("Adding light swarm amplicons to Bloom filter", amps_small)
-    light_variants = _variant_counts(db, light_amps, index)
+    dc = _diff_cumsum(db)
+    light_variants = _variant_counts(db, light_amps, dc)
     # reference: progress_update(++light_progress), values 1..amps_small
     # (src/algod1.cc:543); +1 shifts replay_range's 0..total-1 window
     replay_range(progress, amps_small + 1)
@@ -410,7 +425,8 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
     log.write(f"Generated {light_variants} variants from light swarms\n")
 
     progress.init("Checking heavy swarm amplicons against Bloom filter", amps_large)
-    heavy_variants = _variant_counts(db, heavy_amps, index)
+    heavy_variants = _variant_counts(db, heavy_amps, dc)
+    del dc
 
     # graft candidates: join heavy variant hashes against light variant
     # hashes; exact verification by comparing reconstructed midpoints.
