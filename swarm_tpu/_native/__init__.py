@@ -389,6 +389,31 @@ def write_swarms_plain(arena: "HeaderArena", append_ab, usearch,
     return out[:w].tobytes()
 
 
+def write_structure_d1(arena: "HeaderArena", usearch, members, bounds,
+                       attached, graft_cand, parent, generation) -> bytes:
+    members = np.ascontiguousarray(members, dtype=np.int64)
+    total = int(arena.hdr_len[members].sum()) if len(members) else 0
+    cap = 3 * total + 96 * max(len(members), 1) + 64
+    out = np.empty(cap, dtype=np.uint8)
+    lib.write_structure_d1.restype = ctypes.c_int64
+    w = lib.write_structure_d1(
+        _ptr(arena.arena), _ptr(arena.hdr_off), _ptr(arena.hdr_len),
+        _ptr(arena.ab_start), _ptr(arena.ab_end),
+        ctypes.c_int(1 if usearch else 0),
+        _ptr(members),
+        _ptr(np.ascontiguousarray(bounds, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(attached, dtype=np.uint8)),
+        ctypes.c_int64(len(bounds) - 1),
+        _ptr(np.ascontiguousarray(graft_cand, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(parent, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(generation, dtype=np.int64)),
+        _ptr(out), ctypes.c_int64(cap),
+    )
+    if w < 0:
+        raise MemoryError("write_structure_d1 buffer")
+    return out[:w].tobytes()
+
+
 def write_stats_d1(arena: "HeaderArena", usearch, seed, size, mass,
                    singletons, maxgen, attached) -> bytes:
     nswarms = len(seed)

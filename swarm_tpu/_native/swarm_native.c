@@ -1082,6 +1082,62 @@ int64_t write_swarms_plain(
   return w;
 }
 
+/* d=1 internal-structure (-i) output (reference src/algod1.cc:791-846):
+ * one row per member edge (parent, amp, 1, cluster, gen) plus a
+ * (graft_parent, amp, 2, cluster, gen+1) row for grafted members. */
+int64_t write_structure_d1(
+    const uint8_t *hdr_arena, const int64_t *hdr_off, const int64_t *hdr_len,
+    const int32_t *ab_start, const int32_t *ab_end, int usearch,
+    const int64_t *members, const int64_t *bounds, const uint8_t *attached,
+    int64_t nswarms, const int64_t *graft_cand, const int64_t *parent,
+    const int64_t *generation, char *out, int64_t out_cap) {
+  int64_t w = 0;
+  int64_t cluster_no = 0;
+  for (int64_t s = 0; s < nswarms; s++) {
+    if (attached[s])
+      continue;
+    for (int64_t m = bounds[s] + 1; m < bounds[s + 1]; m++) {
+      int64_t amp = members[m];
+      int64_t g = graft_cand[amp];
+      if (g >= 0) {
+        if (w + hdr_len[g] + hdr_len[amp] + 64 > out_cap)
+          return -1;
+        w += emit_id_noab(hdr_arena + hdr_off[g], hdr_len[g], ab_start[g],
+                          ab_end[g], usearch, out + w);
+        out[w++] = '\t';
+        w += emit_id_noab(hdr_arena + hdr_off[amp], hdr_len[amp],
+                          ab_start[amp], ab_end[amp], usearch, out + w);
+        out[w++] = '\t';
+        out[w++] = '2';
+        out[w++] = '\t';
+        w += emit_u64((uint64_t)(cluster_no + 1), out + w);
+        out[w++] = '\t';
+        w += emit_u64((uint64_t)(generation[g] + 1), out + w);
+        out[w++] = '\n';
+      }
+      int64_t pr = parent[amp];
+      if (pr >= 0) {
+        if (w + hdr_len[pr] + hdr_len[amp] + 64 > out_cap)
+          return -1;
+        w += emit_id_noab(hdr_arena + hdr_off[pr], hdr_len[pr], ab_start[pr],
+                          ab_end[pr], usearch, out + w);
+        out[w++] = '\t';
+        w += emit_id_noab(hdr_arena + hdr_off[amp], hdr_len[amp],
+                          ab_start[amp], ab_end[amp], usearch, out + w);
+        out[w++] = '\t';
+        out[w++] = '1';
+        out[w++] = '\t';
+        w += emit_u64((uint64_t)(cluster_no + 1), out + w);
+        out[w++] = '\t';
+        w += emit_u64((uint64_t)generation[amp], out + w);
+        out[w++] = '\n';
+      }
+    }
+    cluster_no++;
+  }
+  return w;
+}
+
 /* d=1 statistics output (cols 6 and 7 both print maxgen,
  * src/algod1.cc:1055-1057) */
 int64_t write_stats_d1(
@@ -1543,9 +1599,11 @@ int64_t write_uclust_d1_range(
       /* swarm members sit a few edits from their seed: a narrow banded
        * DP (output-identical by the band-exit cost bound, see
        * nw_align_banded) covers almost every pair; escalate, then fall
-       * back to the full matrix */
+       * back to the full matrix. Starting at bw=4 nearly halves the
+       * DP cells of the common case (members are 1-3 generations from
+       * the seed); deep-generation members escalate. */
       int done = 0;
-      for (int64_t bw = 8; !done && bw <= 32; bw *= 4)
+      for (int64_t bw = 4; !done && bw <= 64; bw *= 4)
         done = nw_align_banded(codes + seq_off[amp], seq_len[amp], qseq,
                                qlen, mismatch, go, ge, bw, dirs, Hbuf,
                                Ebuf, raw, cigar, out3);

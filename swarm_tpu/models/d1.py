@@ -781,7 +781,25 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
         progress.done()
 
     # internal structure
-    if p.opt_internal_structure:
+    if (
+        p.opt_internal_structure
+        and arena is not None
+        and st.flat_members is not None
+    ):
+        progress.init("Writing structure:", swarmcount)
+        p.internal_structure_file.write(
+            _native.write_structure_d1(
+                arena, ua, st.flat_members, st.flat_bounds, attached_u8,
+                st.graft_cand, st.parent, st.generation,
+            ).decode("latin-1")
+        )
+        from ..progress import replay_values
+
+        # milestone stream parity: update(i) per NON-attached swarm
+        # slot, same as the Python writer below
+        replay_values(progress, np.nonzero(attached_u8 == 0)[0])
+        progress.done()
+    elif p.opt_internal_structure:
         _ensure_members(st)
         progress.init("Writing structure:", swarmcount)
         out = []
