@@ -172,3 +172,39 @@ def test_fastidious_heavy_side_smaller(both):
 def test_stdin_input_with_fastidious(both):
     both.compare(["-f"] + OUTS + ["-"], None,
                  stdin_data=_fasta(seed=69).encode())
+
+
+def test_mixed_length_bucketed_device_join(both, monkeypatch):
+    """End-to-end CLI run through the width-bucketed device join
+    (forced jax backend + buckets) on a corpus spanning three width
+    levels, including a cross-bucket 1-edit pair."""
+    import numpy as np
+
+    monkeypatch.setenv("SWARM_TPU_BACKEND", "jax")
+    monkeypatch.setenv("SWARM_TPU_D1_BUCKETS", "1")
+    rng = np.random.default_rng(90)
+    recs = []
+    seen = set()
+
+    def push(v, i, ab):
+        key = v.tobytes()
+        if key in seen:
+            return
+        seen.add(key)
+        recs.append(f">m{i}_{ab}\n" + "".join("ACGT"[c] for c in v) + "\n")
+
+    base = rng.integers(0, 4, size=55).astype(np.uint8)
+    for i in range(30):
+        v = base.copy()
+        for _ in range(int(rng.integers(0, 2))):
+            v[rng.integers(0, len(v))] = rng.integers(0, 4)
+        push(v, i, int(rng.integers(1, 50)))
+    b64 = rng.integers(0, 4, size=64).astype(np.uint8)
+    push(b64, 100, 9)
+    push(np.insert(b64, 20, 1).astype(np.uint8), 101, 4)  # cross-bucket
+    long1 = rng.integers(0, 4, size=700).astype(np.uint8)
+    long2 = long1.copy()
+    long2[350] = (long2[350] + 2) % 4
+    push(long1, 200, 7)
+    push(long2, 201, 3)
+    both.compare(["-d", "1"] + FULL, "".join(recs))
