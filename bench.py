@@ -293,7 +293,15 @@ def main() -> None:
     backend = os.environ.get("SWARM_TPU_BENCH_BACKEND", "auto")
     if backend == "auto":
         budget = int(os.environ.get("SWARM_TPU_BENCH_DEVICE_BUDGET", "150"))
-        if probe_device(budget):
+        ok = probe_device(budget)
+        if not ok:
+            # a wedged relay often recovers within a minute (e.g. a
+            # remote compile from an earlier process draining); one
+            # retry keeps the record on the device engines
+            log(f"device probe failed within {budget}s: retrying in 60s")
+            time.sleep(60)
+            ok = probe_device(budget)
+        if ok:
             log("device probe ok: auto backend may use the accelerator")
         else:
             log(f"device probe failed within {budget}s: host engines only")

@@ -151,12 +151,7 @@ def build_graft_table(t_hi, t_lo, t_own, t_slot, bits):
     return s_hi, s_lo, s_own, s_slot, byteset, sentinel_hits
 
 
-@partial(
-    jax.jit,
-    static_argnames=("chunk_rows", "bits", "cap3", "cap", "probes",
-                     "chunk_is_heavy"),
-)
-def graft_probe_chunk(
+def _graft_probe_body(
     padded, lengths, zob, ids,
     s_hi, s_lo, s_own, s_slot, bitset,
     chunk_rows, bits, cap3, cap, probes, chunk_is_heavy,
@@ -249,6 +244,37 @@ def graft_probe_chunk(
     else:
         h_amp, l_amp = t_amp, c_amp
     return h_amp, l_amp, good, n_surv, n_pairs, over
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk_rows", "bits", "cap3", "cap", "probes",
+                     "chunk_is_heavy"),
+)
+def graft_probe_all(
+    padded, lengths, zob, ids_2d,
+    s_hi, s_lo, s_own, s_slot, bitset,
+    chunk_rows, bits, cap3, cap, probes, chunk_is_heavy,
+):
+    """The whole big side in ONE dispatch: lax.map over row chunks of
+    the probe body. The per-chunk loop paid ~0.6s of relay scalar
+    readbacks per 4096-row chunk (3 sync round trips each); mapping
+    the chunks inside one program leaves a single status readback for
+    the entire side. Returns ([K, cap] h_amp / l_amp / good,
+    status int32[3] = [max n_surv, max n_pairs, sum over])."""
+
+    def one(ids):
+        return _graft_probe_body(
+            padded, lengths, zob, ids,
+            s_hi, s_lo, s_own, s_slot, bitset,
+            chunk_rows, bits, cap3, cap, probes, chunk_is_heavy,
+        )
+
+    h_amp, l_amp, good, n_surv, n_pairs, over = jax.lax.map(one, ids_2d)
+    status = jnp.stack(
+        [jnp.max(n_surv), jnp.max(n_pairs), jnp.sum(over)]
+    )
+    return h_amp, l_amp, good, status
 
 
 class GraftEngine:
@@ -497,47 +523,41 @@ class GraftEngine:
         if int(sentinel) > 0:
             raise RuntimeError("sentinel collision in graft table")
 
-        total = 0
-        all_h, all_l = [], []
         C = self.CHUNK
         cap3 = 1 << 17
-        cap = 1 << 16
+        cap = 1 << 13
         probes = 8
         t0 = time.perf_counter()
-        for start in range(0, len(chunk_amps), C):
-            sel = chunk_amps[start : start + C]
-            ids = np.full(C, -1, dtype=np.int32)
-            ids[: len(sel)] = sel
-            ids_j = jnp.asarray(ids)
-            while True:
-                h_amp, l_amp, good, n_surv, n_pairs, over = graft_probe_chunk(
-                    self.padded, self.lengths, self.zob, ids_j,
-                    s_hi, s_lo, s_own, s_slot, bitset,
-                    chunk_rows=C, bits=bits, cap3=cap3, cap=cap,
-                    probes=probes, chunk_is_heavy=chunk_is_heavy,
-                )
-                if int(over) > 0:
-                    probes *= 2
-                    continue
-                if int(n_surv) > cap3:
-                    cap3 *= 2
-                    continue
-                if int(n_pairs) > cap:
-                    cap *= 2
-                    continue
-                break
+        K = -(-len(chunk_amps) // C)
+        ids_np = np.full(K * C, -1, dtype=np.int32)
+        ids_np[: len(chunk_amps)] = chunk_amps
+        ids_2d = jnp.asarray(ids_np.reshape(K, C))
+        while True:
+            h_amp, l_amp, good, status = graft_probe_all(
+                self.padded, self.lengths, self.zob, ids_2d,
+                s_hi, s_lo, s_own, s_slot, bitset,
+                chunk_rows=C, bits=bits, cap3=cap3, cap=cap,
+                probes=probes, chunk_is_heavy=chunk_is_heavy,
+            )
+            n_surv, n_pairs, over = (int(x) for x in np.asarray(status))
+            if over > 0:
+                probes *= 2
+                continue
+            if n_surv > cap3:
+                cap3 *= 2
+                continue
+            if n_pairs > cap:
+                cap *= 2
+                continue
+            break
 
-            t0 = _t("join program(s)", t0)
-            good_np = np.asarray(good)
-            t0 = _t("good D2H", t0)
-            if good_np.any():
-                all_h.append(np.asarray(h_amp)[good_np].astype(np.int64))
-                all_l.append(np.asarray(l_amp)[good_np].astype(np.int64))
-                total += int(good_np.sum())
-
+        t0 = _t("join program(s)", t0)
+        good_np = np.asarray(good).reshape(-1)
+        t0 = _t("good D2H", t0)
+        total = int(good_np.sum())
         if total:
-            h = np.concatenate(all_h)
-            l = np.concatenate(all_l)
+            h = np.asarray(h_amp).reshape(-1)[good_np].astype(np.int64)
+            l = np.asarray(l_amp).reshape(-1)[good_np].astype(np.int64)
             order = np.lexsort((h, l))
             l_sorted, h_sorted = l[order], h[order]
             first = np.ones(len(l_sorted), dtype=bool)
