@@ -3464,7 +3464,29 @@ int64_t d2_diffs_pairs(const uint8_t *arena, const int64_t *offsets,
  * candidate discovery reads a precomputed directed adjacency (CSR,
  * targets ascending) instead of running qgram screens + alignments.
  * adj edges carry the exact accepted diff (<= d) for that direction.
- * pos_of must enter as the inverse of order (the identity). */
+ * pos_of must enter as the inverse of order (the identity).
+ *
+ * O(E log E), no rotations. The reference's insertion moves
+ * (src/algo.cc:205-256) are stable extractions from a pool that is
+ * always in ascending amplicon order, so (a) the next seed is simply
+ * the smallest unswarmed amplicon, and (b) each generation's final
+ * layout is its claimed members sorted ascending by amplicon id;
+ * claim order (which fixes per-edge parent/diff and structure-row
+ * order) is: generation members in that sorted order, each member's
+ * adjacency in ascending target order. We therefore claim per
+ * generation into a batch, emit structure rows at claim time, sort
+ * the batch by id, and append — byte-identical output arrays. */
+typedef struct {
+  int64_t id;
+  int64_t rad;
+} graph_child_t;
+
+static int graph_child_cmp(const void *x, const void *y) {
+  const graph_child_t *a = (const graph_child_t *)x;
+  const graph_child_t *b = (const graph_child_t *)y;
+  return a->id < b->id ? -1 : (a->id > b->id ? 1 : 0);
+}
+
 int64_t algo_cluster_graph(
     const int64_t *adj_start, const int64_t *adj_count, const int64_t *adj_to,
     const int64_t *adj_diff, const int64_t *abundances, int64_t n,
@@ -3475,123 +3497,88 @@ int64_t algo_cluster_graph(
     int64_t *swarm_bound, int64_t *struct_parent, int64_t *struct_child,
     int64_t *struct_diff, int64_t *struct_gen, int64_t *summary_out) {
   int64_t largestswarm = 0, maxgenerations = 0, swarmid = 0;
-  int64_t seeded = 0, swarmed = 0, struct_count = 0;
+  int64_t swarmed = 0, struct_count = 0;
 
-#define GRAPH_ROTATE(arrname)                                                 \
-  do {                                                                        \
-    int64_t tmpv = arrname[target];                                           \
-    memmove(arrname + pos + 1, arrname + pos,                                 \
-            (size_t)(target - pos) * sizeof(int64_t));                        \
-    arrname[pos] = tmpv;                                                      \
-  } while (0)
+  /* pos_of doubles as the swarmed flag: -1 = claimed. order enters as
+   * the identity (abundance order), so the next seed is the smallest
+   * unclaimed id — a monotone cursor finds all seeds in O(n) total. */
+  graph_child_t *batch =
+      (graph_child_t *)malloc((size_t)(n > 0 ? n : 1) * sizeof(graph_child_t));
+  if (batch == NULL)
+    return -1;
+  int64_t cursor = 0;
 
-  while (seeded < n) {
+  while (swarmed < n) {
+    while (pos_of[cursor] < 0)
+      cursor++;
+    int64_t seedampliconid = cursor;
     swarmid++;
     int64_t swarmsize = 1, copies = 0, singletons = 0;
     int64_t maxradius = 0, maxgen = 1;
 
-    int64_t seedindex = seeded;
-    seeded++;
-    swarmid_arr[seedindex] = swarmid;
-    int64_t seedampliconid = order[seedindex];
+    pos_of[seedampliconid] = -1;
+    order[swarmed] = seedampliconid;
+    swarmid_arr[swarmed] = swarmid;
+    gen_arr[swarmed] = 0;
+    rad_arr[swarmed] = 0;
+    int64_t gen_begin = swarmed;
+    swarmed++;
     int64_t abundance = abundances[seedampliconid];
     copies += abundance;
     if (abundance == 1)
       singletons++;
-    swarmed++;
 
-    /* gen-1: the seed's adjacency, ascending target id == ascending
-     * pool position (src/algo.cc:423-432 scans pool positions) */
-    {
-      int64_t s = adj_start[seedampliconid];
-      int64_t e = s + adj_count[seedampliconid];
-      for (int64_t k = s; k < e; k++) {
-        int64_t v = adj_to[k];
-        int64_t target = pos_of[v];
-        if (target < swarmed)
-          continue; /* already swarmed (or the seed itself) */
-        int64_t diff = adj_diff[k];
-        if (target > swarmed) {
-          int64_t pos = swarmed;
-          GRAPH_ROTATE(order);
-          GRAPH_ROTATE(swarmid_arr);
-          GRAPH_ROTATE(gen_arr);
-          GRAPH_ROTATE(rad_arr);
-          for (int64_t q = pos; q <= target; q++)
-            pos_of[order[q]] = q;
-        }
-        swarmid_arr[swarmed] = swarmid;
-        gen_arr[swarmed] = 1;
-        rad_arr[swarmed] = diff;
-        if (diff > maxradius)
-          maxradius = diff;
-        int64_t poolampliconid = order[swarmed];
-        if (want_structure) {
-          struct_parent[struct_count] = seedampliconid;
-          struct_child[struct_count] = poolampliconid;
-          struct_diff[struct_count] = diff;
-          struct_gen[struct_count] = 1;
-          struct_count++;
-        }
-        int64_t ab = abundances[poolampliconid];
-        copies += ab;
-        if (ab == 1)
-          singletons++;
-        swarmsize++;
-        swarmed++;
-      }
-
-      while (seeded < swarmed) {
-        int64_t subseed_pos = seeded;
-        int64_t subseed_amp = order[subseed_pos];
-        int64_t subseed_radius = rad_arr[subseed_pos];
-        int64_t subseed_generation = gen_arr[subseed_pos];
-        seeded++;
-
-        int64_t s2 = adj_start[subseed_amp];
-        int64_t e2 = s2 + adj_count[subseed_amp];
-        for (int64_t k = s2; k < e2; k++) {
+    int64_t gen_number = 0;
+    while (gen_begin < swarmed) {
+      int64_t gen_end = swarmed;
+      int64_t nchild = 0;
+      /* claim order: generation members ascending by id (their final
+       * layout), each adjacency in ascending target order — identical
+       * to the reference's subseed scan (src/algo.cc:505-602) */
+      for (int64_t i = gen_begin; i < gen_end; i++) {
+        int64_t u = order[i];
+        int64_t urad = rad_arr[i];
+        int64_t s = adj_start[u];
+        int64_t e = s + adj_count[u];
+        for (int64_t k = s; k < e; k++) {
           int64_t v = adj_to[k];
-          int64_t target = pos_of[v];
-          if (target < swarmed)
-            continue;
+          if (pos_of[v] < 0)
+            continue; /* already swarmed (or the seed itself) */
           int64_t diff = adj_diff[k];
-          int64_t targetampliconid = v;
-          int64_t pos = swarmed;
-          while (pos > seeded && order[pos - 1] > targetampliconid &&
-                 gen_arr[pos - 1] > subseed_generation)
-            pos--;
-          if (target > pos) {
-            GRAPH_ROTATE(order);
-            GRAPH_ROTATE(swarmid_arr);
-            GRAPH_ROTATE(gen_arr);
-            GRAPH_ROTATE(rad_arr);
-            for (int64_t q = pos; q <= target; q++)
-              pos_of[order[q]] = q;
-          }
-          swarmid_arr[pos] = swarmid;
-          gen_arr[pos] = subseed_generation + 1;
-          if (subseed_generation + 1 > maxgen)
-            maxgen = subseed_generation + 1;
-          rad_arr[pos] = subseed_radius + diff;
-          if (subseed_radius + diff > maxradius)
-            maxradius = subseed_radius + diff;
-          int64_t poolampliconid = order[pos];
+          pos_of[v] = -1;
+          batch[nchild].id = v;
+          batch[nchild].rad = urad + diff;
+          nchild++;
           if (want_structure) {
-            struct_parent[struct_count] = subseed_amp;
-            struct_child[struct_count] = poolampliconid;
+            struct_parent[struct_count] = u;
+            struct_child[struct_count] = v;
             struct_diff[struct_count] = diff;
-            struct_gen[struct_count] = subseed_generation + 1;
+            struct_gen[struct_count] = gen_number + 1;
             struct_count++;
           }
-          int64_t ab = abundances[poolampliconid];
+          if (urad + diff > maxradius)
+            maxradius = urad + diff;
+          int64_t ab = abundances[v];
           copies += ab;
           if (ab == 1)
             singletons++;
           swarmsize++;
-          swarmed++;
         }
       }
+      if (nchild == 0)
+        break;
+      gen_number++;
+      if (gen_number > maxgen)
+        maxgen = gen_number;
+      qsort(batch, (size_t)nchild, sizeof(graph_child_t), graph_child_cmp);
+      for (int64_t j = 0; j < nchild; j++) {
+        order[swarmed] = batch[j].id;
+        swarmid_arr[swarmed] = swarmid;
+        gen_arr[swarmed] = gen_number;
+        rad_arr[swarmed] = batch[j].rad;
+        swarmed++;
+      }
+      gen_begin = gen_end;
     }
 
     if (swarmsize > largestswarm)
@@ -3604,9 +3591,9 @@ int64_t algo_cluster_graph(
     swarm_singletons[swarmid - 1] = singletons;
     swarm_maxgen[swarmid - 1] = maxgen;
     swarm_maxrad[swarmid - 1] = maxradius;
-    swarm_bound[swarmid - 1] = seeded;
+    swarm_bound[swarmid - 1] = swarmed;
   }
-#undef GRAPH_ROTATE
+  free(batch);
 
   summary_out[0] = largestswarm;
   summary_out[1] = maxgenerations;
