@@ -187,14 +187,84 @@ def network_pairs(packed, lengths, zob, width, lcap, cap, cap2, window):
 
 @partial(jax.jit, static_argnames=("width",))
 def verify_pairs(packed, lengths, pa, pb, width):
-    """Exact dist<=1 verification of candidate pairs (device gathers)."""
-    padded = unpack2bit_device(packed, width)
+    """Exact dist<=1 verification of candidate pairs (device gathers).
+
+    Gathers the 2-bit PACKED rows (width/16 uint32 words) instead of
+    unpacked byte codes: the row gather is the dominant cost at 1M-pair
+    capacities and packed rows move 4x fewer bytes. The check itself
+    runs on the packed words (XOR + 2-bit-field popcounts + a one-field
+    funnel shift) — see _verify_dist1_packed.
+    """
+    del width  # packed rows carry their own word count
     ok = pa >= 0
     pa_c = jnp.maximum(pa, 0)
     pb_c = jnp.maximum(pb, 0)
-    return ok & _verify_dist1_rows(
-        padded[pa_c], padded[pb_c], lengths[pa_c], lengths[pb_c]
+    return ok & _verify_dist1_packed(
+        packed[pa_c], packed[pb_c], lengths[pa_c], lengths[pb_c]
     )
+
+
+def _field_mask(k):
+    """Bits [0, 2k) set, for per-word 2-bit-field counts k in [0, 16]
+    (uint32-safe at both ends: shift amounts stay < 32)."""
+    kc = jnp.clip(k, 0, 15).astype(jnp.uint32)
+    part = (jnp.uint32(1) << (2 * kc)) - jnp.uint32(1)
+    full = jnp.uint32(0xFFFFFFFF)
+    return jnp.where(k >= 16, full, jnp.where(k <= 0, jnp.uint32(0), part))
+
+
+def _verify_dist1_packed(xa, xb, La, Lb):
+    """Exact edit-distance==1 over gathered 2-bit-packed rows.
+
+    Same semantics as _verify_dist1_rows (the byte-codes version, kept
+    as the oracle): equal lengths -> exactly one mismatching base;
+    length difference 1 -> the shorter equals the longer with one base
+    deleted. Rows are [P, Wd] uint32, base j at bits 2*(j%16) of word
+    j//16, zero-padded past the sequence length (pack2bit layout).
+    """
+    P, Wd = xa.shape
+    u1 = jnp.uint32(0x55555555)
+    widx = jnp.arange(Wd, dtype=jnp.int32)[None, :]  # [1, Wd]
+
+    # --- equal lengths: exactly one mismatching 2-bit field ---
+    # (padding is zero on both sides at equal lengths, so no mask)
+    x0 = xa ^ xb
+    m0 = (x0 | (x0 >> 1)) & u1
+    nmis = jnp.sum(jnp.bitwise_count(m0), axis=1)
+    same_ok = (La == Lb) & (nmis == 1)
+
+    # --- length difference 1: x = longer, y = shorter ---
+    a_long = (La >= Lb)[:, None]
+    xw = jnp.where(a_long, xa, xb)
+    yw = jnp.where(a_long, xb, xa)
+    ly = jnp.minimum(La, Lb).astype(jnp.int32)  # [P]
+
+    # first mismatching field f in [0, ly); f = ly when the shorter is
+    # a prefix of the longer (deleting the longer's last base works)
+    d0 = xw ^ yw
+    md = (d0 | (d0 >> 1)) & u1
+    md = md & _field_mask(ly[:, None] - 16 * widx)
+    has = md != 0
+    w0 = jnp.min(jnp.where(has, widx, Wd), axis=1)  # [P]
+    mword = jnp.sum(jnp.where(widx == w0[:, None], md, jnp.uint32(0)), axis=1)
+    lsb = mword & (~mword + jnp.uint32(1))
+    ctz = jnp.bitwise_count(lsb - jnp.uint32(1))  # 32 when mword == 0
+    f = jnp.where(
+        mword == 0, ly, (16 * w0 + (ctz >> 1).astype(jnp.int32))
+    )  # [P]
+
+    # suffix check: fields j in [f, ly) of (x >> one field) must equal y
+    xs = (xw >> 2) | (
+        jnp.concatenate([xw[:, 1:], jnp.zeros((P, 1), jnp.uint32)], axis=1)
+        << 30
+    )
+    e = xs ^ yw
+    em = (e | (e >> 1)) & u1
+    lo = f[:, None] - 16 * widx
+    hi = ly[:, None] - 16 * widx
+    check = _field_mask(hi) & ~_field_mask(lo)
+    diff_ok = (jnp.abs(La - Lb) == 1) & jnp.all((em & check) == 0, axis=1)
+    return same_ok | diff_ok
 
 
 def _verify_dist1_rows(rows_a, rows_b, La, Lb):

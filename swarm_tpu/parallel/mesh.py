@@ -110,7 +110,7 @@ from ..ops.neighbors_sortjoin import (  # noqa: E402
     join_pairs,
     pack2bit,
     unpack2bit_device,
-    _verify_dist1_rows,
+    _verify_dist1_packed,
 )
 from ..ops.neighbors_jax import make_zobrist_pair  # noqa: E402
 
@@ -190,12 +190,11 @@ def _sharded_join_body(
         r_hi, r_lo, r_own, n_total, cap=cap, cap2=cap2, window=window
     )
 
-    padded_full = unpack2bit_device(packed_full, width)
     ok = pa >= 0
     pa_c = jnp.maximum(pa, 0)
     pb_c = jnp.maximum(pb, 0)
-    good = ok & _verify_dist1_rows(
-        padded_full[pa_c], padded_full[pb_c],
+    good = ok & _verify_dist1_packed(
+        packed_full[pa_c], packed_full[pb_c],
         lengths_full[pa_c], lengths_full[pb_c],
     )
 

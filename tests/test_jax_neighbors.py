@@ -396,3 +396,81 @@ def test_bucketed_join_matches_single():
     i64, i65 = n - 4, n - 3
     pairs = set(zip(want[0].tolist(), want[1].tolist()))
     assert (i64, i65) in pairs or (i65, i64) in pairs
+
+
+def test_verify_dist1_packed_matches_oracle():
+    """The packed-word verifier == the numpy byte oracle on randomized
+    pairs covering every relation class and word-boundary lengths."""
+    import jax.numpy as jnp
+    from swarm_tpu.ops.neighbors_sortjoin import (
+        _verify_dist1_packed,
+        pack2bit,
+        verify_dist1,
+    )
+
+    rng = np.random.default_rng(11)
+    rows, lens = [], []
+
+    def add(seq):
+        rows.append(list(seq))
+        lens.append(len(seq))
+        return len(rows) - 1
+
+    pairs = []
+    # lengths crossing uint32-word boundaries (16 bases/word)
+    for L in [1, 2, 5, 15, 16, 17, 31, 32, 33, 47, 48, 90]:
+        base = rng.integers(0, 4, size=L).tolist()
+        i0 = add(base)
+        # substitution at a random position (incl. first/last)
+        for p in {0, L - 1, int(rng.integers(0, L))}:
+            s = list(base)
+            s[p] = (s[p] + 1 + int(rng.integers(0, 3))) % 4
+            pairs.append((i0, add(s), True))
+        # deletion at a random position and at both ends
+        if L > 1:
+            for p in {0, L - 1, int(rng.integers(0, L))}:
+                s = base[:p] + base[p + 1 :]
+                pairs.append((i0, add(s), True))
+        # insertion at both ends and middle
+        for p in {0, L, L // 2}:
+            s = base[:p] + [int(rng.integers(0, 4))] + base[p:]
+            pairs.append((i0, add(s), True))
+        # dist-2: two substitutions
+        if L >= 2:
+            s = list(base)
+            s[0] = (s[0] + 1) % 4
+            s[L - 1] = (s[L - 1] + 1) % 4
+            pairs.append((i0, add(s), False))
+        # identical (dist 0) -> False
+        pairs.append((i0, add(base), False))
+        # length diff 2 (prefix) -> False
+        if L > 2:
+            pairs.append((i0, add(base[: L - 2]), False))
+        # same length, one del + one ins elsewhere (dist 2, same len)
+        if L >= 4:
+            s = base[1:] + [(base[0] + 2) % 4]
+            pairs.append((i0, add(s), None))  # oracle decides
+
+    width = ((max(lens) + 15) // 16) * 16
+    padded = np.zeros((len(rows), width), dtype=np.uint8)
+    lengths = np.zeros(len(rows), dtype=np.int64)
+    for i, s in enumerate(rows):
+        padded[i, : len(s)] = s
+        lengths[i] = len(s)
+
+    a = np.array([p[0] for p in pairs])
+    b = np.array([p[1] for p in pairs])
+    want = verify_dist1(padded, lengths, a, b)
+    for (_, _, expect), w in zip(pairs, want):
+        if expect is not None:
+            assert bool(w) == expect
+
+    packed = jnp.asarray(pack2bit(padded))
+    got = np.asarray(
+        _verify_dist1_packed(
+            packed[a], packed[b],
+            jnp.asarray(lengths[a], jnp.int32),
+            jnp.asarray(lengths[b], jnp.int32),
+        )
+    )
+    assert got.tolist() == want.tolist()
