@@ -149,8 +149,13 @@ def prepare_network(packed, lengths, zob, width):
     return padded, keys_hi.reshape(-1), keys_lo.reshape(-1), owner.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("width", "lcap", "cap", "cap2", "window"))
-def network_pairs(packed, lengths, zob, width, lcap, cap, cap2, window):
+@partial(
+    jax.jit,
+    static_argnames=("width", "lcap", "cap", "cap2", "window", "cap_deep"),
+)
+def network_pairs(
+    packed, lengths, zob, width, lcap, cap, cap2, window, cap_deep=None
+):
     """Fused join WITHOUT verification: packed codes in, unique candidate
     pairs out, plus one status vector.
 
@@ -175,12 +180,12 @@ def network_pairs(packed, lengths, zob, width, lcap, cap, cap2, window):
     )
     n = padded.shape[0]
     owner = jnp.where(valid, jnp.arange(n, dtype=jnp.int32)[:, None], -1)
-    pa, pb, n_flagged, n_pairs, overflow_run = join_pairs(
+    pa, pb, n_flagged, n_pairs, overflow_run, n_deep = join_pairs(
         keys_hi.reshape(-1), keys_lo.reshape(-1), owner.reshape(-1), n,
-        cap=cap, cap2=cap2, window=window,
+        cap=cap, cap2=cap2, window=window, cap_deep=cap_deep,
     )
     status = jnp.stack(
-        [n_flagged, n_pairs, overflow_run, jnp.zeros((), jnp.int32)]
+        [n_flagged, n_pairs, overflow_run, jnp.zeros((), jnp.int32), n_deep]
     )
     return pa, pb, status
 
@@ -202,6 +207,50 @@ def verify_pairs(packed, lengths, pa, pb, width):
     return ok & _verify_dist1_packed(
         packed[pa_c], packed[pb_c], lengths[pa_c], lengths[pb_c]
     )
+
+
+@partial(jax.jit, static_argnames=("n", "cap3"))
+def verify_pairs_compact(packed, lengths, pa, pb, n, cap3):
+    """Exact dist<=1 verification + device dedup + compaction.
+
+    Program outputs on relay-attached TPUs move at tunnel speed (tens
+    of MB/s), so instead of shipping the full [cap2] candidate arrays
+    plus a bool mask to the host, this program sorts the VERIFIED
+    pairs canonically, drops duplicates (a pair found via several
+    shared keys), and returns only [cap3] compacted slots plus a
+    count. cap3 tracks the real pair population (persisted alongside
+    the join params); retry with doubled cap3 when status[0] > cap3.
+
+    Returns (ga [cap3], gb [cap3], status int32[2]) where status[0] is
+    the number of unique verified pairs; ga/gb come back sorted by
+    (a, b) with -1 filler.
+    """
+    ok = pa >= 0
+    pa_c = jnp.maximum(pa, 0)
+    pb_c = jnp.maximum(pb, 0)
+    good = ok & _verify_dist1_packed(
+        packed[pa_c], packed[pb_c], lengths[pa_c], lengths[pb_c]
+    )
+    # canonical sort; failed slots carry the n sentinel and sink to
+    # the end (pa < pb < n for every real pair)
+    big = jnp.int32(n)
+    s_a, s_b = jax.lax.sort(
+        (jnp.where(good, pa, big), jnp.where(good, pb, big)), num_keys=2
+    )
+    uniq = jnp.concatenate(
+        [
+            jnp.ones(1, dtype=bool),
+            (s_a[1:] != s_a[:-1]) | (s_b[1:] != s_b[:-1]),
+        ]
+    )
+    keep = uniq & (s_a < big)
+    n_good = jnp.sum(keep, dtype=jnp.int32)
+    (gsel,) = jnp.nonzero(keep, size=cap3, fill_value=0)
+    gpicked = jnp.arange(cap3, dtype=jnp.int32) < n_good
+    ga = jnp.where(gpicked, s_a[jnp.minimum(gsel, s_a.shape[0] - 1)], -1)
+    gb = jnp.where(gpicked, s_b[jnp.minimum(gsel, s_b.shape[0] - 1)], -1)
+    status = jnp.stack([n_good, jnp.zeros((), jnp.int32)])
+    return ga, gb, status
 
 
 def _field_mask(k):
@@ -300,12 +349,14 @@ def join_pairs(
     cap: int,
     cap2: int,
     window: int,
+    cap_deep: int = None,
 ):
     """Unique candidate pairs (pa < pb) sharing a deletion key.
 
-    Returns (pa [cap2], pb [cap2], n_flagged, n_pairs, overflow_run);
-    filler slots hold -1. Retry with a bigger cap / cap2 / window when
-    n_flagged > cap / n_pairs > cap2 / overflow_run > 0.
+    Returns (pa [cap2], pb [cap2], n_flagged, n_pairs, overflow_run,
+    n_deep); filler slots hold -1. Retry with a bigger cap / cap2 /
+    window / cap_deep when n_flagged > cap / n_pairs > cap2 /
+    overflow_run > 0 / n_deep > cap_deep.
 
     TPU shape of the hot path:
       * the sort moves 8 bytes per key, not 12 — the second sort word
@@ -318,13 +369,21 @@ def join_pairs(
         real key can never equal it because real owners are < 2^OB-1,
         so the sentinel-collision fallback of the 3-operand design is
         structurally unnecessary.
-      * sorted equal keys are CONTIGUOUS, so "i matches something
-        within the window" is exactly eq1[i] (adjacent equality): the
-        flag pass materializes one bool array instead of `window`
-        shifted comparisons, and the per-j partner checks gather the
-        two sorted words directly instead of indexing `window` full-
-        length masks.
+      * sorted equal keys are CONTIGUOUS, so every flagged element
+        (eq1[i]: key equals the previous slot) IS a j=1 match — no key
+        gathers are needed for the dominant run-length-2 case, just
+        one owner gather at sel-1.
+      * runs longer than 2 are rare (hash collisions or dense
+        microvariant clusters), so the j>=2 partner checks run on a
+        second, much smaller compaction (the "deep" subset: flagged
+        elements whose run extends 2+ back). Key equality j slots back
+        is the AND of the intervening eq1 bits — bool gathers, not
+        key-word gathers. At 1M amplicons this cuts the post-sort
+        phase from ~1.0s to ~0.4s (window gathers at cap_deep instead
+        of 9x2 uint32 gathers at cap).
     """
+    if cap_deep is None:
+        cap_deep = cap
     M = keys_hi.shape[0]
     ob = max(int(n).bit_length(), 8)  # owner field bits; n < 2^ob - 1
     lb = max(32 - ob, 0)  # keys_lo bits that still discriminate
@@ -373,39 +432,62 @@ def join_pairs(
     # valid selections are the prefix (nonzero returns ascending indices)
     picked = jnp.arange(cap, dtype=jnp.int32) < n_flagged
 
-    a_hi = s_hi[sel]
-    a_k2 = s_k2[sel]
-    a_col = jnp.where(picked, (a_k2 & omask).astype(jnp.int32), -1)
-    pl_cols, ph_cols = [], []
-    over = jnp.zeros((), dtype=jnp.int32)
-    for j in range(1, window + 2):
-        prev = jnp.clip(sel - j, 0, M - 1)
-        b_hi = s_hi[prev]
-        b_k2 = s_k2[prev]
-        ok = picked & (sel >= j) & key_eq(a_hi, a_k2, b_hi, b_k2)
-        ok = ok & val[prev]
-        if j == window + 1:
-            # an equal key window+1 back means the run is longer than
-            # the window can enumerate => escalate
-            over = jnp.sum(ok, dtype=jnp.int32)
-            break
-        b_col = jnp.where(ok, (b_k2 & omask).astype(jnp.int32), -1)
-        ok = ok & (b_col != a_col)
-        pl_cols.append(jnp.where(ok, jnp.minimum(a_col, b_col), n))
-        ph_cols.append(jnp.where(ok, jnp.maximum(a_col, b_col), n))
-    plo = jnp.stack(pl_cols, axis=1).reshape(-1)  # [cap*window]
-    phi = jnp.stack(ph_cols, axis=1).reshape(-1)
+    a_col = jnp.where(picked, (s_k2[sel] & omask).astype(jnp.int32), -1)
 
-    # second compaction (no dedup sort: a pair appearing via several
-    # shared keys verifies identically; the host dedups the small
-    # verified list instead)
+    # j == 1: eq1[sel] already proves key equality with the previous
+    # slot (and its validity), so only the partner's owner is gathered.
+    # sel >= 1 structurally: eq1[0] is hardwired False.
+    b1_col = (s_k2[jnp.maximum(sel - 1, 0)] & omask).astype(jnp.int32)
+    ok1 = picked & (b1_col != a_col)
+    pl1 = jnp.where(ok1, jnp.minimum(a_col, b1_col), n)
+    ph1 = jnp.where(ok1, jnp.maximum(a_col, b1_col), n)
+
+    # deep subset: flagged elements whose run extends at least 2 back
+    # (key[i] == key[i-2] iff eq1[i] & eq1[i-1])
+    deep_flag = picked & eq1[jnp.maximum(sel - 1, 0)] & (sel >= 1)
+    n_deep = jnp.sum(deep_flag, dtype=jnp.int32)
+    (didx,) = jnp.nonzero(deep_flag, size=cap_deep, fill_value=0)
+    dpicked = jnp.arange(cap_deep, dtype=jnp.int32) < n_deep
+    dsel = jnp.minimum(sel[didx], M - 1)
+    da_col = jnp.where(dpicked, a_col[didx], -1)
+
+    # chain_j: key[dsel] == key[dsel - j], maintained as the AND of the
+    # intervening adjacent-equality bits (sorted order makes equal-key
+    # runs contiguous, so endpoint equality == all-intermediate
+    # equality). j=2 holds by construction of deep_flag.
+    chain = dpicked
+    dpl_cols, dph_cols = [], []
+    for j in range(2, window + 1):
+        if j > 2:
+            chain = chain & eq1[jnp.clip(dsel - (j - 1), 0, M - 1)]
+        b_col = (s_k2[jnp.clip(dsel - j, 0, M - 1)] & omask).astype(
+            jnp.int32
+        )
+        ok = chain & (dsel >= j) & (b_col != da_col)
+        dpl_cols.append(jnp.where(ok, jnp.minimum(da_col, b_col), n))
+        dph_cols.append(jnp.where(ok, jnp.maximum(da_col, b_col), n))
+    # an equal key window+1 back means the run is longer than the
+    # window can enumerate => escalate
+    over_chain = chain & eq1[jnp.clip(dsel - window, 0, M - 1)]
+    over = jnp.sum(over_chain & (dsel >= window + 1), dtype=jnp.int32)
+
+    parts_lo = [pl1]
+    parts_hi = [ph1]
+    if dpl_cols:
+        parts_lo.append(jnp.stack(dpl_cols, axis=1).reshape(-1))
+        parts_hi.append(jnp.stack(dph_cols, axis=1).reshape(-1))
+    plo = jnp.concatenate(parts_lo)  # [cap + cap_deep*(window-1)]
+    phi = jnp.concatenate(parts_hi)
+
+    # second compaction (no dedup sort here: the verifier program
+    # dedups the verified list on device)
     is_pair = plo < n
     n_pairs = jnp.sum(is_pair, dtype=jnp.int32)
     (sel3,) = jnp.nonzero(is_pair, size=cap2, fill_value=0)
     picked2 = jnp.arange(cap2, dtype=jnp.int32) < n_pairs
     pa = jnp.where(picked2, plo[sel3], -1)
     pb = jnp.where(picked2, phi[sel3], -1)
-    return pa, pb, n_flagged, n_pairs, over
+    return pa, pb, n_flagged, n_pairs, over, n_deep
 
 
 def verify_dist1(
@@ -471,6 +553,9 @@ def _load_good_params():
 
         with open(path) as fh:
             for k, v in json.load(fh).items():
+                v = list(v)
+                if len(v) == 3:  # pre-round-4 format: no cap_deep/cap3
+                    v = v + [max(v[0] >> 3, 1 << 13), max(v[1] >> 1, 1 << 13)]
                 _LAST_GOOD_PARAMS.setdefault(
                     tuple(int(x) for x in k.split(",")), tuple(v)
                 )
@@ -520,6 +605,27 @@ def _row_bucket(n: int) -> int:
 # bounds HBM at a single resident corpus.
 _DEVICE_ARRAY_CACHE = {}
 
+# digest memo keyed by arena object identity: the serving-model DB
+# cache returns the SAME numpy arrays across runs, so the ~0.2s blake2b
+# at 1M amplicons is paid once per resident corpus. Holding a reference
+# to the keyed array pins it, keeping id() stable.
+_DIGEST_MEMO = {}
+
+
+def _content_digest(db) -> str:
+    key = (id(db.codes), id(db.lengths))
+    hit = _DIGEST_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
+    import hashlib
+
+    h = hashlib.blake2b(db.codes, digest_size=16)
+    h.update(np.ascontiguousarray(db.lengths))
+    digest = h.hexdigest()
+    _DIGEST_MEMO.clear()
+    _DIGEST_MEMO[key] = ((db.codes, db.lengths), digest)
+    return digest
+
 
 class SortJoinNeighborEngine:
     """Whole-database d=1 network via one global device sort-join."""
@@ -543,38 +649,45 @@ class SortJoinNeighborEngine:
         cap = 1 << max(14, (self.n - 1).bit_length())
         cap2 = cap
         window = 8
+        cap_deep = max(cap >> 3, 1 << 13)
+        cap3 = max(cap2 >> 1, 1 << 13)
         cached = _LAST_GOOD_PARAMS.get(shape_key)
         if cached:
             cap, cap2, window = (
                 max(cap, cached[0]), max(cap2, cached[1]),
                 max(window, cached[2]),
             )
-        return shape_key, cap, cap2, window
+            if len(cached) >= 5:
+                cap_deep = max(cap_deep, cached[3])
+                cap3 = max(cap3, cached[4])
+        return shape_key, cap, cap2, window, cap_deep, cap3
 
     def start(self) -> None:
         """Dispatch join + verify asynchronously at the cached params.
         build_network consumes the result; a later cap retry just
         discards the speculative programs."""
-        _, cap, cap2, window = self._params()
+        _, cap, cap2, window, cap_deep, cap3 = self._params()
         packed, lengths = self._device_arrays()
         pa, pb, status = network_pairs(
             packed, lengths, self.zob, width=self.width,
             lcap=self.lcap, cap=cap, cap2=cap2, window=window,
+            cap_deep=cap_deep,
         )
-        good = verify_pairs(packed, lengths, pa, pb, width=self.width)
-        self._pending = ((cap, cap2, window), pa, pb, good, status)
+        ga, gb, vstatus = verify_pairs_compact(
+            packed, lengths, pa, pb, n=self.n_pad, cap3=cap3
+        )
+        self._pending = (
+            (cap, cap2, window, cap_deep, cap3), pa, pb, ga, gb, vstatus,
+            status,
+        )
 
     def _device_arrays(self):
         if self._device is None:
-            import hashlib
-
             db = self.db
             # content key over the RAW arena: on a hit (the serving
             # pattern: re-clustering the resident corpus) the pad +
             # 2-bit pack are skipped along with the H2D
-            h = hashlib.blake2b(db.codes, digest_size=16)
-            h.update(np.ascontiguousarray(db.lengths))
-            key = (self.n_pad, self.width, h.hexdigest())
+            key = (self.n_pad, self.width, _content_digest(db))
             hit = _DEVICE_ARRAY_CACHE.get(key)
             if hit is None:
                 from .neighbors import pad_codes
@@ -613,64 +726,77 @@ class SortJoinNeighborEngine:
         packed, lengths = self._device_arrays()
         t0 = _t("pack+H2D", t0)
 
-        shape_key, cap, cap2, window = self._params()
+        shape_key, cap, cap2, window, cap_deep, cap3 = self._params()
         pending = self._pending
         self._pending = None
         while True:
-            if pending is not None and pending[0] == (cap, cap2, window):
+            params = (cap, cap2, window, cap_deep, cap3)
+            if pending is not None and pending[0] == params:
                 # consume the start() dispatch (it ran on the device
                 # under the host's hashing phase)
-                _, pa, pb, good, status = pending
+                _, pa, pb, ga, gb, vstatus, status = pending
                 pending = None
             else:
                 pa, pb, status = network_pairs(
                     packed, lengths, self.zob, width=self.width,
                     lcap=self.lcap, cap=cap, cap2=cap2, window=window,
+                    cap_deep=cap_deep,
                 )
                 # dispatch the verifier BEFORE the status readback:
                 # both programs queue on the device back-to-back, so
                 # the host pays one sync instead of two; a cap retry
                 # (rare — params persist across runs) just discards
                 # the speculative work
-                good = verify_pairs(packed, lengths, pa, pb, width=self.width)
+                ga, gb, vstatus = verify_pairs_compact(
+                    packed, lengths, pa, pb, n=self.n_pad, cap3=cap3
+                )
+            stat = np.asarray(status)
             n_flagged, n_pairs, over, sentinel_hits = (
-                int(x) for x in np.asarray(status)
+                int(x) for x in stat[:4]
             )
+            n_deep = int(stat[4]) if stat.shape[0] > 4 else 0
             if sentinel_hits > 0:
                 raise SentinelCollision(
                     "a real deletion key equals the invalid-key sentinel"
                 )
-            if over > 0:
-                window *= 2
-                continue
             if n_flagged > cap:
                 cap *= 2
                 cap2 = max(cap2, cap)
                 continue
+            if n_deep > cap_deep:
+                cap_deep *= 2
+                continue
+            if over > 0:
+                window *= 2
+                continue
             if n_pairs > cap2:
                 cap2 *= 2
                 continue
+            # cap3 retries rerun only the (cheap) verifier program; the
+            # join results stay device-resident
+            while True:
+                n_good = int(np.asarray(vstatus)[0])
+                if n_good <= cap3:
+                    break
+                cap3 *= 2
+                ga, gb, vstatus = verify_pairs_compact(
+                    packed, lengths, pa, pb, n=self.n_pad, cap3=cap3
+                )
+            params = (cap, cap2, window, cap_deep, cap3)
             break
         t0 = _t("join program+status", t0)
-        if _LAST_GOOD_PARAMS.get(shape_key) != (cap, cap2, window):
-            _LAST_GOOD_PARAMS[shape_key] = (cap, cap2, window)
+        if _LAST_GOOD_PARAMS.get(shape_key) != params:
+            _LAST_GOOD_PARAMS[shape_key] = params
             _save_good_params()
 
         from .. import metrics
 
         metrics.record(d1_join_comparisons=int(n_pairs))
 
-        good_np = np.asarray(good)
-        pa_all = np.asarray(pa)
-        pb_all = np.asarray(pb)
+        # unique verified pairs, already canonically sorted on device
+        pa_np = np.asarray(ga)[:n_good].astype(np.int64)
+        pb_np = np.asarray(gb)[:n_good].astype(np.int64)
         t0 = _t("verify+D2H", t0)
-        pa_np = pa_all[good_np].astype(np.int64)
-        pb_np = pb_all[good_np].astype(np.int64)
-
-        # dedup pairs found via several shared keys
-        packed_pairs = np.unique(pa_np * np.int64(n) + pb_np)
-        pa_np = packed_pairs // n
-        pb_np = packed_pairs % n
 
         # both directions, abundance rule (ab[from] >= ab[to] unless no_break)
         ef = np.concatenate([pa_np, pb_np])
@@ -808,7 +934,7 @@ class BucketedSortJoinEngine:
         cap2 = cap
         window = 8
         while True:
-            pa, pb, n_flagged, n_pairs, over = (
+            pa, pb, n_flagged, n_pairs, over, _n_deep = (
                 network_pairs_bucketed(
                     packeds, lengthss, owners, self.zob,
                     widths=widths, lcaps=lcaps, n=n,
