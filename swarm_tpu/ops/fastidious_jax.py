@@ -135,7 +135,7 @@ def build_graft_table(t_hi, t_lo, t_own, t_slot, bits):
     hi = jnp.where(invalid, sent, t_hi)
     lo = jnp.where(invalid, sent, t_lo)
     s_hi, s_lo, s_own, s_slot = jax.lax.sort(
-        (hi, lo, t_own, t_slot), num_keys=2
+        (hi, lo, t_own, t_slot), num_keys=2, is_stable=False
     )
 
     # membership BYTE-set: one u8 per hashed slot, built with a plain
@@ -615,7 +615,7 @@ def graft_sort3(t_hi, t_lo, b_hi, b_lo):
     k_hi = jnp.concatenate([t_hi, b_hi])
     k_lo = jnp.concatenate([t_lo, b_lo])
     idx = jax.lax.iota(jnp.int32, k_hi.shape[0])
-    return jax.lax.sort((k_hi, k_lo, idx), num_keys=2)
+    return jax.lax.sort((k_hi, k_lo, idx), num_keys=2, is_stable=False)
 
 
 @partial(
@@ -761,5 +761,7 @@ def graft_keys_sorted_fused(
     k_hi = jnp.concatenate([s_hi.reshape(-1), b_hi.reshape(-1)])
     k_lo = jnp.concatenate([s_lo.reshape(-1), b_lo.reshape(-1)])
     idx = jax.lax.iota(jnp.int32, n_small * S + n_big * S)
-    o_hi, o_lo, o_idx = jax.lax.sort((k_hi, k_lo, idx), num_keys=2)
+    o_hi, o_lo, o_idx = jax.lax.sort(
+        (k_hi, k_lo, idx), num_keys=2, is_stable=False
+    )
     return o_hi, o_lo, o_idx, jnp.sum(s_sent) + jnp.sum(b_sent)

@@ -235,7 +235,8 @@ def verify_pairs_compact(packed, lengths, pa, pb, n, cap3):
     # the end (pa < pb < n for every real pair)
     big = jnp.int32(n)
     s_a, s_b = jax.lax.sort(
-        (jnp.where(good, pa, big), jnp.where(good, pb, big)), num_keys=2
+        (jnp.where(good, pa, big), jnp.where(good, pb, big)), num_keys=2,
+        is_stable=False,
     )
     uniq = jnp.concatenate(
         [
@@ -395,7 +396,7 @@ def join_pairs(
         k2 = owner.astype(jnp.uint32)
     keys_hi = jnp.where(invalid, sent, keys_hi)
     k2 = jnp.where(invalid, sent, k2)
-    s_hi, s_k2 = jax.lax.sort((keys_hi, k2), num_keys=2)
+    s_hi, s_k2 = jax.lax.sort((keys_hi, k2), num_keys=2, is_stable=False)
 
     omask = jnp.uint32((1 << ob) - 1)
     val = s_k2 != sent  # invalid iff both words all-ones; hi can be FF

@@ -477,7 +477,7 @@ def _sharded_graft_body(
     )
 
     k_hi, k_lo, k_amp, k_meta = jax.lax.sort(
-        (r_hi, r_lo, r_amp, r_meta), num_keys=2
+        (r_hi, r_lo, r_amp, r_meta), num_keys=2, is_stable=False
     )
     M = k_hi.shape[0]
     val = (k_amp >= 0) & ~((k_hi == _SENT32) & (k_lo == _SENT32))
