@@ -238,8 +238,11 @@ class NeighborIndex:
     # its compile + transfer cost (measured on v5e; tunable via env)
     AUTO_DEVICE_THRESHOLD = 20_000_000
     #: auto backend: the native host builder owns n below this (the
-    #: device join wins above; override SWARM_TPU_D1_NATIVE_MAX)
-    NATIVE_MAX = 262_144
+    #: device join wins above; override SWARM_TPU_D1_NATIVE_MAX).
+    #: Crossover measured on v5e: at 200k the device join builds the
+    #: network in ~0.25s vs ~1.2s for the host radix join; at 10k the
+    #: dispatch floor (~0.2s) loses to the ~20ms host build.
+    NATIVE_MAX = 65_536
 
     def __init__(self, db, backend: str = "auto", threads: int = 1):
         import os

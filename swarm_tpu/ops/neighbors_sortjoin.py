@@ -165,9 +165,9 @@ def network_pairs(
     and program outputs are relayed to the host at tunnel speed, so
     each program must emit only O(pairs) data while device-resident
     INPUTS (packed) are free to re-pass. The status comes back as a
-    single int32[4] ([n_flagged, n_pairs, overflow_run, 0]) so the
-    retry loop costs one tiny readback instead of four relay round
-    trips.
+    single int32[5] ([n_flagged, n_pairs, overflow_run, 0, n_deep])
+    so the retry loop costs one tiny readback instead of five relay
+    round trips.
 
     lcap (real length cap, 16-bucketed) trims the slot axis below the
     tile-aligned width: at 150 nt / width 192 that is ~17% fewer hash
