@@ -4740,14 +4740,64 @@ int64_t graft_probe_native(const uint8_t *arena, const int64_t *offsets,
     uint64_t bb = key36 & bmask;
     bset[bb >> 6] |= 1ULL << (bb & 63);
   }
+
+  /* qgram prescreen: dist(x, y) <= 2 requires <= 20 differing parity
+   * bits (each edit flips at most 2*5 = 10 qgram parities; reference
+   * bound src/qgram.cc:247-252). A graft link needs a shared gen-1
+   * variant, i.e. dist(big, table_amp) <= 2 for SOME table amplicon,
+   * so when the table side has few amplicons a t_n x 2x512-bit
+   * popcount screen per big-side amplicon skips the 7L+4 keygen +
+   * bitset probes for everything not near any table-side sequence —
+   * the overwhelming majority in the lopsided shapes -f produces.
+   * Soundness of the bound keeps the candidate COUNT exact: skipped
+   * amplicons contribute zero verified variant matches. */
+  int use_screen = t_n > 0 && (double)t_n * (double)b_n <= 4e8;
+  uint64_t *tprof = NULL;
+  if (use_screen) {
+    tprof = (uint64_t *)calloc((size_t)t_n * 16, 8);
+    if (tprof == NULL)
+      use_screen = 0;
+    else
+      for (int64_t i = 0; i < t_n; i++) {
+        const uint8_t *s = arena + offsets[t_ids[i]];
+        int64_t L = lengths[t_ids[i]];
+        uint64_t *prof = tprof + i * 16;
+        unsigned q = 0;
+        for (int64_t p = 0; p < L; p++) {
+          q = ((q << 2) | s[p]) & 1023;
+          if (p >= 4)
+            prof[q >> 6] ^= 1ULL << (q & 63);
+        }
+      }
+  }
   double _gt1 = _now();
 
   int64_t count = 0;
-  int64_t _nverify = 0, _nhits = 0;
+  int64_t _nverify = 0, _nhits = 0, _nscreened = 0;
+  uint64_t bp[16];
   for (int64_t i = 0; i < b_n; i++) {
     int64_t a = b_ids[i];
     const uint8_t *s = arena + offsets[a];
     int64_t L = lengths[a];
+    if (use_screen) {
+      memset(bp, 0, sizeof(bp));
+      unsigned q = 0;
+      for (int64_t p = 0; p < L; p++) {
+        q = ((q << 2) | s[p]) & 1023;
+        if (p >= 4)
+          bp[q >> 6] ^= 1ULL << (q & 63);
+      }
+      int near = 0;
+      for (int64_t t = 0; t < t_n; t++)
+        if (qgram_diffbits(tprof + t * 16, bp) <= 20) {
+          near = 1;
+          break;
+        }
+      if (!near) {
+        _nscreened++;
+        continue;
+      }
+    }
     uint64_t full = 0;
     for (int64_t p = 0; p < L; p++)
       full ^= ZPT(zpt, p, s[p]);
@@ -4785,9 +4835,11 @@ int64_t graft_probe_native(const uint8_t *arena, const int64_t *offsets,
   if (getenv("SWARM_TPU_TIMING") != NULL)
     fprintf(stderr,
             "[graftP] table=%lld keys, big=%lld amps: build %.2fs probe "
-            "%.2fs (bitset hits %lld, verify calls %lld)\n",
+            "%.2fs (qgram-screened %lld, bitset hits %lld, verify calls "
+            "%lld)\n",
             (long long)m, (long long)b_n, _gt1 - _gt0, _now() - _gt1,
-            (long long)_nhits, (long long)_nverify);
+            (long long)_nscreened, (long long)_nhits, (long long)_nverify);
+  free(tprof);
   free(tab);
   free(bset);
   free(tkeys);
