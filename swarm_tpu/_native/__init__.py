@@ -168,6 +168,21 @@ def find_duplicate_seq(codes, seq_off, seq_len) -> int:
     )
 
 
+def variant_count_total(codes, offsets, lengths, ids) -> int:
+    """Exact reference variant count sum(6L + 4 + runs) over ids
+    (fastidious log accounting, src/algod1.cc:1436-1472)."""
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    lib.variant_count_total.restype = ctypes.c_int64
+    return int(
+        lib.variant_count_total(
+            _ptr(codes),
+            _ptr(np.ascontiguousarray(offsets, dtype=np.int64)),
+            _ptr(np.ascontiguousarray(lengths, dtype=np.int64)),
+            _ptr(ids), ctypes.c_int64(len(ids)),
+        )
+    )
+
+
 def abundance_sort(buf_arr, hdr_off, hdr_len, abundance):
     n = len(hdr_off)
     order = np.empty(n, dtype=np.int64)

@@ -4856,3 +4856,27 @@ int64_t graft_probe_native(const uint8_t *arena, const int64_t *offsets,
   free(zpt);
   return count;
 }
+
+/* ------------------------------------------------------------------ */
+/* fastidious variant accounting (reference src/algod1.cc:1436-1472):  */
+/* the log lines need the exact number of variants the reference       */
+/* would generate, sum over amplicons of 6L + 4 + runs(seq).           */
+/* ------------------------------------------------------------------ */
+
+int64_t variant_count_total(const uint8_t *arena, const int64_t *offsets,
+                            const int64_t *lengths, const int64_t *ids,
+                            int64_t n_ids) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_ids; i++) {
+    int64_t a = ids[i];
+    const uint8_t *s = arena + offsets[a];
+    int64_t L = lengths[a];
+    if (L <= 0)
+      continue;
+    int64_t runs = 1;
+    for (int64_t p = 1; p < L; p++)
+      runs += s[p] != s[p - 1];
+    total += 6 * L + 4 + runs;
+  }
+  return total;
+}

@@ -306,6 +306,12 @@ def _variant_counts(db: Db, amps: np.ndarray, diff_cumsum=None) -> int:
     arena pass between the light and heavy calls."""
     if len(amps) == 0:
         return 0
+    from .. import _native
+
+    if _native.available() and diff_cumsum is None:
+        return _native.variant_count_total(
+            db.codes, db.offsets, db.lengths, amps
+        )
     lens = db.lengths[amps]
     c = diff_cumsum if diff_cumsum is not None else _diff_cumsum(db)
     if c is not None:
@@ -416,7 +422,11 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
     from ..progress import replay_range
 
     progress.init("Adding light swarm amplicons to Bloom filter", amps_small)
-    dc = _diff_cumsum(db)
+    from .. import _native as _nat
+
+    # the native counter walks the arena per side; the cumsum sharing
+    # only pays off on the pure-Python path
+    dc = None if _nat.available() else _diff_cumsum(db)
     light_variants = _variant_counts(db, light_amps, dc)
     # reference: progress_update(++light_progress), values 1..amps_small
     # (src/algod1.cc:543); +1 shifts replay_range's 0..total-1 window
