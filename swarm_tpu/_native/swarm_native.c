@@ -23,6 +23,21 @@
 #define MAX_HEADER_LENGTH 16777215LL   /* src/db.cc:443 */
 #define INT64_MAX_C 9223372036854775807LL
 
+/* unsigned decimal emitter: sprintf("%lld") costs ~300ns a call and
+ * the writers print millions of integers (622k swarms at the 1M bench
+ * = 0.5s of sprintf alone); this is ~15ns */
+static inline int64_t emit_u64(uint64_t v, char *out) {
+  char buf[20];
+  int k = 0;
+  do {
+    buf[k++] = (char)('0' + (v % 10));
+    v /= 10;
+  } while (v);
+  for (int i = 0; i < k; i++)
+    out[i] = buf[k - 1 - i];
+  return k;
+}
+
 /* ------------------------------------------------------------------ */
 /* fasta scan                                                          */
 /* ------------------------------------------------------------------ */
@@ -831,7 +846,7 @@ void nw_align(const uint8_t *dseq, int64_t dlen, const uint8_t *qseq,
     while (i + cnt < total && raw[i + cnt] == ch)
       cnt++;
     if (cnt > 1)
-      clen += sprintf(cigar + clen, "%lld", (long long)cnt);
+      clen += emit_u64((uint64_t)cnt, cigar + clen);
     cigar[clen++] = ch;
     i += cnt;
   }
@@ -989,7 +1004,7 @@ int nw_align_banded(const uint8_t *dseq, int64_t dlen, const uint8_t *qseq,
     while (i + cnt < total && raw[i + cnt] == ch)
       cnt++;
     if (cnt > 1)
-      clen += sprintf(cigar + clen, "%lld", (long long)cnt);
+      clen += emit_u64((uint64_t)cnt, cigar + clen);
     cigar[clen++] = ch;
     i += cnt;
   }
@@ -1001,21 +1016,6 @@ int nw_align_banded(const uint8_t *dseq, int64_t dlen, const uint8_t *qseq,
 /* ------------------------------------------------------------------ */
 /* output writers (reference src/algod1.cc:791-815, 1043-1062)         */
 /* ------------------------------------------------------------------ */
-
-/* unsigned decimal emitter: sprintf("%lld") costs ~300ns a call and
- * the stats/swarms writers print millions of integers (622k swarms at
- * the 1M bench = 0.5s of sprintf alone); this is ~15ns */
-static inline int64_t emit_u64(uint64_t v, char *out) {
-  char buf[20];
-  int k = 0;
-  do {
-    buf[k++] = (char)('0' + (v % 10));
-    v /= 10;
-  } while (v);
-  for (int i = 0; i < k; i++)
-    out[i] = buf[k - 1 - i];
-  return k;
-}
 
 /* print_id (src/db.cc:946-975): header, plus appended abundance when
  * -a is active and the header has no annotation */
@@ -1568,6 +1568,11 @@ int64_t write_uclust_d1_range(
   int64_t w = 0;
   int64_t cluster_no = cluster_base;
   char seed_id[1 << 16];
+  int64_t pid_key[256];
+  char pid_str[256][8];
+  int pid_len[256];
+  for (int i = 0; i < 256; i++)
+    pid_key[i] = -1;
   for (int64_t s = 0; s < nswarms; s++) {
     if (attached[s])
       continue;
@@ -1579,12 +1584,22 @@ int64_t write_uclust_d1_range(
                               append_ab, usearch, seed_id);
     if (w + 2 * sid_len + 128 > out_cap)
       return -1;
-    w += sprintf(out + w, "C\t%lld\t%lld\t*\t*\t*\t*\t*\t",
-                 (long long)cluster_no, (long long)swarm_size[s]);
+    out[w++] = 'C';
+    out[w++] = '\t';
+    w += emit_u64((uint64_t)cluster_no, out + w);
+    out[w++] = '\t';
+    w += emit_u64((uint64_t)swarm_size[s], out + w);
+    memcpy(out + w, "\t*\t*\t*\t*\t*\t", 11);
+    w += 11;
     memcpy(out + w, seed_id, (size_t)sid_len);
     w += sid_len;
-    w += sprintf(out + w, "\t*\nS\t%lld\t%lld\t*\t*\t*\t*\t*\t",
-                 (long long)cluster_no, (long long)seq_len[seed]);
+    memcpy(out + w, "\t*\nS\t", 5);
+    w += 5;
+    w += emit_u64((uint64_t)cluster_no, out + w);
+    out[w++] = '\t';
+    w += emit_u64((uint64_t)seq_len[seed], out + w);
+    memcpy(out + w, "\t*\t*\t*\t*\t*\t", 11);
+    w += 11;
     memcpy(out + w, seed_id, (size_t)sid_len);
     w += sid_len;
     out[w++] = '\t';
@@ -1613,8 +1628,26 @@ int64_t write_uclust_d1_range(
       double percentid = 100.0 * (double)(out3[1] - out3[0]) / (double)out3[1];
       if (w + hdr_len[amp] + sid_len + out3[2] + 128 > out_cap)
         return -1;
-      w += sprintf(out + w, "H\t%lld\t%lld\t%.1f\t+\t0\t0\t",
-                   (long long)cluster_no, (long long)seq_len[amp], percentid);
+      out[w++] = 'H';
+      out[w++] = '\t';
+      w += emit_u64((uint64_t)cluster_no, out + w);
+      out[w++] = '\t';
+      w += emit_u64((uint64_t)seq_len[amp], out + w);
+      out[w++] = '\t';
+      /* %.1f byte-exactly via glibc, memoized: (diff, alen) pairs
+       * repeat heavily (members are 1-3 edits from their seed) */
+      {
+        int64_t pk = (out3[0] << 32) | out3[1];
+        int slot = (int)(((uint64_t)pk * 0x9E3779B97F4A7C15ULL) >> 56);
+        if (pid_key[slot] != pk) {
+          pid_key[slot] = pk;
+          pid_len[slot] = sprintf(pid_str[slot], "%.1f", percentid);
+        }
+        memcpy(out + w, pid_str[slot], (size_t)pid_len[slot]);
+        w += pid_len[slot];
+      }
+      memcpy(out + w, "\t+\t0\t0\t", 7);
+      w += 7;
       if (out3[0] > 0) {
         memcpy(out + w, cigar, (size_t)out3[2]);
         w += out3[2];
