@@ -1611,13 +1611,34 @@ int64_t write_uclust_d1_range(
     for (int64_t m = bounds[s] + 1; m < bounds[s + 1]; m++) {
       int64_t amp = members[m];
       int64_t out3[3];
+      int done = 0;
+      /* substitution-only fast path: at equal lengths, any alignment
+       * with an indel pays >= 2*(go+ge), so when hamming*mismatch is
+       * strictly below that the all-M alignment is the UNIQUE cost
+       * optimum — the DP and its tie-breaks are forced, the cigar is
+       * "<L>M" and diff = hamming. Covers every pure-substitution
+       * member at ~20ns instead of a banded DP. */
+      if (seq_len[amp] == qlen) {
+        const uint8_t *ds = codes + seq_off[amp];
+        int64_t h = 0;
+        for (int64_t p = 0; p < qlen; p++)
+          h += ds[p] != qseq[p];
+        if (h * mismatch < 2 * (go + ge)) {
+          out3[0] = h;
+          out3[1] = qlen;
+          int64_t cl = emit_u64((uint64_t)qlen, cigar);
+          cigar[cl++] = 'M';
+          cigar[cl] = 0;
+          out3[2] = cl;
+          done = 1;
+        }
+      }
       /* swarm members sit a few edits from their seed: a narrow banded
        * DP (output-identical by the band-exit cost bound, see
        * nw_align_banded) covers almost every pair; escalate, then fall
        * back to the full matrix. Starting at bw=4 nearly halves the
        * DP cells of the common case (members are 1-3 generations from
        * the seed); deep-generation members escalate. */
-      int done = 0;
       for (int64_t bw = 4; !done && bw <= 64; bw *= 4)
         done = nw_align_banded(codes + seq_off[amp], seq_len[amp], qseq,
                                qlen, mismatch, go, ge, bw, dirs, Hbuf,
