@@ -9,6 +9,7 @@ to the pure-Python implementations, which remain the behavioral oracle.
 import ctypes
 import os
 import subprocess
+import sys
 from pathlib import Path
 
 import numpy as np
@@ -48,9 +49,11 @@ def _build() -> bool:
     tag = _build_tag()
     if _SO.exists() and _TAG.exists() and _TAG.read_text() == tag:
         return True
-    # -march=native unlocks hardware popcnt/AVX2 for the qgram screens
-    # (the build host is the run host); plain -O2 is the fallback
+    # -march=native unlocks hardware popcnt/AVX2/AVX-512 for the qgram
+    # screens and the 16-lane banded DP (the build host is the run
+    # host); plain -O2 is the fallback
     flag_sets = (["-O3", "-march=native"], ["-O2"])
+    last_err = b""
     for flags in flag_sets:
         for cc in ("cc", "gcc", "clang"):
             try:
@@ -61,8 +64,19 @@ def _build() -> bool:
                     timeout=120,
                 )
                 if r.returncode == 0:
+                    if flags != flag_sets[0] and last_err:
+                        # a silent fallback to -O2 once hid a source
+                        # error and quietly disabled every SIMD kernel;
+                        # make degraded builds loud
+                        sys.stderr.write(
+                            "swarm_tpu/_native: -march=native build "
+                            "FAILED, using the slow -O2 fallback:\n"
+                            + last_err.decode("utf-8", "replace")[-2000:]
+                            + "\n"
+                        )
                     _TAG.write_text(tag)
                     return True
+                last_err = r.stderr or last_err
             except (OSError, subprocess.TimeoutExpired):
                 continue
     return False
