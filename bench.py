@@ -62,6 +62,10 @@ CONFIGS = {
     # config 5 (headline): the 1M corpus; multi-host streaming is
     # exercised separately by __graft_entry__.dryrun_multichip
     "d1_1m": dict(n=1_000_000, length=150, flags=["-d", "1"]),
+    # config 6: the d>=2 MXU path (all-pairs qgram screen as int8
+    # matmuls + 16-lane exact diffs); shares config 2's corpus. Runs
+    # LAST: a driver-budget timeout here cannot cost earlier records.
+    "d2_100k": dict(n=100_000, length=150, flags=["-d", "2"]),
 }
 
 
