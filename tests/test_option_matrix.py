@@ -208,3 +208,55 @@ def test_mixed_length_bucketed_device_join(both, monkeypatch):
     push(long1, 200, 7)
     push(long2, 201, 3)
     both.compare(["-d", "1"] + FULL, "".join(recs))
+
+
+# --- round-4 widening: writer/threads/network interactions ----------
+
+def test_derep_full_output_set(both):
+    both.compare(["-d", "0"] + FULL, _fasta(seed=71))
+
+
+def test_network_file_with_threads(both):
+    both.compare(
+        ["-d", "1", "-t", "4", "-j", "network.txt"] + OUTS, _fasta(seed=72)
+    )
+
+
+def test_uclust_with_fastidious_grafts(both):
+    # grafting rewrites member chains; the uclust writer must follow
+    # the spliced order (reference src/algod1.cc:852-934)
+    both.compare(
+        ["-d", "1", "-f", "-u", "uclust.txt", "-i", "structure.txt"] + OUTS,
+        _fasta(seed=73, cloud_size=4, n_centers=12),
+    )
+
+
+def test_no_break_with_d2(both):
+    both.compare(["-d", "2", "-n"] + FULL, _fasta(seed=74))
+
+
+def test_threads_boundary_512(both):
+    both.compare(["-d", "1", "-t", "512"] + OUTS, _fasta(seed=75))
+
+
+def test_threads_513_rejected(both):
+    ref, _ = both.compare(["-d", "1", "-t", "513", "-o", "out.txt"], _fasta())
+    assert ref.returncode == 1
+
+
+def test_append_abundance_derep_seeds(both):
+    # -a supplies the missing abundance; -w rewrites with the summed
+    # mass (both syntaxes, src/db.cc:1001-1026)
+    fasta = ">s1\nACGTACGT\n>s2_3\nACGTACGT\n>s3\nACGAACGT\n"
+    both.compare(["-d", "0", "-a", "2", "-w", "seeds.fasta"] + OUTS, fasta)
+
+
+def test_append_abundance_d2_usearch(both):
+    fasta = ">q1;size=4\nACGTACGTAA\n>q2\nACGTACCTAA\n>q3;size=2\nTTTTACGTAA\n"
+    both.compare(["-d", "2", "-z", "-a", "7"] + FULL, fasta)
+
+
+def test_d5_wide_band_engine(both):
+    # d=5 widens the exact band; crosses the batch kernel's width cap
+    # logic and the subseed radius bound (src/algo.cc:518-531)
+    both.compare(["-d", "5"] + FULL, _fasta(seed=76, max_edits=6))
