@@ -31,6 +31,27 @@ from ..progress import Progress
 NO_SWARM = -1
 ONE_MEGABYTE = 1 << 20
 
+# duplicate-sequence check memo, keyed by arena object identity: the
+# serving-model DB cache returns the same numpy arrays across runs, so
+# the ~0.5s native scan at 1M amplicons runs once per resident corpus.
+# On a single-core host the scan otherwise competes with the relay
+# threads serving the concurrently-running device join. The held
+# reference pins the arena, keeping id() stable.
+_DUP_MEMO = {}
+
+
+def _find_duplicate_memo(db):
+    from .. import _native
+
+    key = (id(db.codes), id(db.offsets))
+    hit = _DUP_MEMO.get(key)
+    if hit is not None and hit[0] is db.codes:
+        return hit[2]
+    dup = _native.find_duplicate_seq(db.codes, db.offsets, db.lengths)
+    _DUP_MEMO.clear()
+    _DUP_MEMO[key] = (db.codes, db.offsets, dup)
+    return dup
+
 
 def _memtotal() -> int:
     try:
@@ -106,7 +127,7 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
         "--output derep.fasta\n"
     )
     if _native.available():
-        dup = _native.find_duplicate_seq(db.codes, db.offsets, db.lengths)
+        dup = _find_duplicate_memo(db)
         from ..progress import replay_range
 
         if dup >= 0:
