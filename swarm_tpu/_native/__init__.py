@@ -182,6 +182,31 @@ def find_duplicate_seq(codes, seq_off, seq_len) -> int:
     )
 
 
+def d1_finish_edges(ga, gb, abundances, no_break):
+    """Unique verified pairs (a < b, sorted by (a, b)) -> directed
+    edges under the abundance rule, sorted by (from, to). Three linear
+    passes (swarm_native.c: d1_finish_edges); same contract as the
+    numpy expand + lexsort it replaces."""
+    ga = np.ascontiguousarray(ga, dtype=np.int64)
+    gb = np.ascontiguousarray(gb, dtype=np.int64)
+    abundances = np.ascontiguousarray(abundances, dtype=np.int64)
+    m = len(ga)
+    n = len(abundances)
+    ef = np.empty(2 * m, dtype=np.int64)
+    et = np.empty(2 * m, dtype=np.int64)
+    lib.d1_finish_edges.restype = ctypes.c_int64
+    w = int(
+        lib.d1_finish_edges(
+            _ptr(ga), _ptr(gb), ctypes.c_int64(m), _ptr(abundances),
+            ctypes.c_int(1 if no_break else 0), ctypes.c_int64(n),
+            _ptr(ef), _ptr(et),
+        )
+    )
+    if w < 0:
+        raise MemoryError("d1_finish_edges")
+    return ef[:w], et[:w]
+
+
 def variant_count_total(codes, offsets, lengths, ids) -> int:
     """Exact reference variant count sum(6L + 4 + runs) over ids
     (fastidious log accounting, src/algod1.cc:1436-1472)."""

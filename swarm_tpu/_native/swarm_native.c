@@ -5393,3 +5393,72 @@ int64_t variant_count_total(const uint8_t *arena, const int64_t *offsets,
   }
   return total;
 }
+
+/* ------------------------------------------------------------------ */
+/* d=1 edge finishing: unique verified pairs (a < b, sorted by (a,b)) */
+/* -> ordered edges under the abundance rule, sorted by (from, to).   */
+/* Replaces the numpy two-direction expand + lexsort on the host tail */
+/* (~0.15s at 1M amplicons; this is three linear passes).             */
+/* ------------------------------------------------------------------ */
+
+int64_t d1_finish_edges(const int64_t *ga, const int64_t *gb, int64_t m,
+                        const int64_t *abundances, int no_break, int64_t n,
+                        int64_t *ef_out, int64_t *et_out) {
+  if (m == 0)
+    return 0;
+  /* direction a->b in input order is already sorted by (a, b);
+   * direction b->a needs a stable counting sort by b (within equal b
+   * the input's ascending a gives ascending 'to') */
+  int64_t *cnt = (int64_t *)calloc((size_t)(n + 1), 8);
+  int64_t *e2f = (int64_t *)malloc((size_t)m * 8);
+  int64_t *e2t = (int64_t *)malloc((size_t)m * 8);
+  if (cnt == NULL || e2f == NULL || e2t == NULL) {
+    free(cnt); free(e2f); free(e2t);
+    return -2;
+  }
+  int64_t m2 = 0;
+  for (int64_t i = 0; i < m; i++)
+    if (no_break || abundances[gb[i]] >= abundances[ga[i]])
+      cnt[gb[i] + 1]++;
+  for (int64_t v = 0; v < n; v++)
+    cnt[v + 1] += cnt[v];
+  for (int64_t i = 0; i < m; i++) {
+    if (!(no_break || abundances[gb[i]] >= abundances[ga[i]]))
+      continue;
+    int64_t pos = cnt[gb[i]]++;
+    e2f[pos] = gb[i];
+    e2t[pos] = ga[i];
+    m2++;
+  }
+  /* merge the two sorted streams by (from, to) */
+  int64_t i1 = 0, i2 = 0, w = 0;
+  while (1) {
+    /* advance stream 1 past filtered entries */
+    while (i1 < m && !(no_break || abundances[ga[i1]] >= abundances[gb[i1]]))
+      i1++;
+    if (i1 >= m && i2 >= m2)
+      break;
+    int take1;
+    if (i1 >= m)
+      take1 = 0;
+    else if (i2 >= m2)
+      take1 = 1;
+    else
+      take1 = ga[i1] < e2f[i2] ||
+              (ga[i1] == e2f[i2] && gb[i1] <= e2t[i2]);
+    if (take1) {
+      ef_out[w] = ga[i1];
+      et_out[w] = gb[i1];
+      i1++;
+    } else {
+      ef_out[w] = e2f[i2];
+      et_out[w] = e2t[i2];
+      i2++;
+    }
+    w++;
+  }
+  free(cnt);
+  free(e2f);
+  free(e2t);
+  return w;
+}

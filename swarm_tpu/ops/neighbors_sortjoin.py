@@ -799,7 +799,16 @@ class SortJoinNeighborEngine:
         pb_np = np.asarray(gb)[:n_good].astype(np.int64)
         t0 = _t("verify+D2H", t0)
 
-        # both directions, abundance rule (ab[from] >= ab[to] unless no_break)
+        # both directions, abundance rule (ab[from] >= ab[to] unless
+        # no_break), sorted by (from, to)
+        from .. import _native
+
+        if _native.available():
+            ef_s, et_s = _native.d1_finish_edges(
+                pa_np, pb_np, abundances.astype(np.int64), no_break
+            )
+            _t("host dedup+sort", t0)
+            return ef_s, et_s
         ef = np.concatenate([pa_np, pb_np])
         et = np.concatenate([pb_np, pa_np])
         if not no_break:
