@@ -465,6 +465,19 @@ def make_stderr():
     return _STDERR_WRAPPER
 
 
+def write_blob(f, blob: bytes) -> None:
+    """Write a native writer's byte blob to a latin-1 text stream
+    without the decode + re-encode round trip (two full passes over a
+    35 MB stats blob at 1M amplicons). The text layer is flushed first
+    so interleaved text writes keep their order."""
+    buf = getattr(f, "buffer", None)
+    if buf is not None:
+        f.flush()
+        buf.write(blob)
+    else:
+        f.write(blob.decode("latin-1"))
+
+
 def open_files(p: Parameters) -> None:
     """Open the output streams; '-' means stdout (src/utils/open_and_close_files.cc).
 

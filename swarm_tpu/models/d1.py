@@ -172,7 +172,9 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
             _native.HeaderArena(db), aa, ua, link_start, link_count, edges_to
         )
         if blob is not None:
-            p.network_file.write(blob.decode("latin-1"))
+            from ..cli import write_blob
+
+            write_blob(p.network_file, blob)
             from ..progress import replay_values
 
             # the python loop updates with the running edge count after
@@ -738,10 +740,13 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
         and st.flat_members is not None
     ):
         progress.init("Writing swarms:   ", swarmcount)
-        p.outfile.write(
+        from ..cli import write_blob
+
+        write_blob(
+            p.outfile,
             _native.write_swarms_plain(
                 arena, aa, ua, st.flat_members, st.flat_bounds, attached_u8
-            ).decode("latin-1")
+            ),
         )
         from ..progress import replay_range, replay_values
 
@@ -784,7 +789,9 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
         blob, n_written = _native.write_seeds_d1(
             db, arena, ua, st.swarm_seed, st.swarm_mass, attached_u8
         )
-        p.seeds_file.write(blob.decode("latin-1"))
+        from ..cli import write_blob
+
+        write_blob(p.seeds_file, blob)
         from ..progress import replay_range
 
         replay_range(progress, n_written + 1)
@@ -818,11 +825,14 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
         and st.flat_members is not None
     ):
         progress.init("Writing structure:", swarmcount)
-        p.internal_structure_file.write(
+        from ..cli import write_blob
+
+        write_blob(
+            p.internal_structure_file,
             _native.write_structure_d1(
                 arena, ua, st.flat_members, st.flat_bounds, attached_u8,
                 st.graft_cand, st.parent, st.generation,
-            ).decode("latin-1")
+            ),
         )
         from ..progress import replay_values
 
@@ -868,7 +878,9 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
             nthreads=p.opt_threads,
         )
         if blob is not None:
-            p.uclustfile.write(blob.decode("latin-1"))
+            from ..cli import write_blob
+
+            write_blob(p.uclustfile, blob)
             from ..progress import replay_range
 
             replay_range(progress, int(np.sum(attached_u8 == 0)))
@@ -883,11 +895,14 @@ def _output_results(p, db, progress, st, swarmcount_adjusted):
     if p.opt_statistics_file:
         progress.init("Writing stats:    ", swarmcount)
         if arena is not None:
-            p.statsfile.write(
+            from ..cli import write_blob
+
+            write_blob(
+                p.statsfile,
                 _native.write_stats_d1(
                     arena, ua, st.swarm_seed, st.swarm_size, st.swarm_mass,
                     st.swarm_singletons, st.swarm_maxgen, attached_u8
-                ).decode("latin-1")
+                ),
             )
             from ..progress import replay_range
 

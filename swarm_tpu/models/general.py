@@ -570,7 +570,9 @@ def _write_d2_results(p, db, progress, res, n):
             data = _native.write_swarms_plain(
                 _native.HeaderArena(db), aa, ua, order, bounds, attached
             )
-            p.outfile.write(data.decode("latin-1"))
+            from ..cli import write_blob
+
+            write_blob(p.outfile, data)
 
     if p.opt_seeds and n != 0:
         _write_seeds(p, db, progress, order, swarmid_arr, n)
