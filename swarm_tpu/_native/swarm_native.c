@@ -3640,13 +3640,21 @@ static void d2_pair_diff_batch16(const uint8_t *const *qs,
   if (!active)
     return;
 
-  /* transposed tiles: qT[p*16 + l] = qs[l][p] (pad 0) */
-  for (int64_t p = 0; p < maxq; p++)
-    for (int l = 0; l < 16; l++)
-      qT[p * 16 + l] = (active >> l & 1) && p < qlen32[l] ? qs[l][p] : 0;
-  for (int64_t p = 0; p < maxd; p++)
-    for (int l = 0; l < 16; l++)
-      dT[p * 16 + l] = (active >> l & 1) && p < dlen32[l] ? ds[l][p] : 0;
+  /* transposed tiles: qT[p*16 + l] = qs[l][p]. Only active lanes'
+   * columns are written — stale bytes in other columns (or past a
+   * lane's length) are only ever read under lane masks that discard
+   * the result, and per-call zero-fill of the full 16 x maxlen tile
+   * dominated small batches (the seed loop averages 2-3 lanes). */
+  for (int l = 0; l < nlanes; l++) {
+    if (!(active >> l & 1))
+      continue;
+    const uint8_t *q = qs[l];
+    for (int64_t p = 0; p < qlen32[l]; p++)
+      qT[p * 16 + l] = q[p];
+    const uint8_t *dd = ds[l];
+    for (int64_t p = 0; p < dlen32[l]; p++)
+      dT[p * 16 + l] = dd[p];
+  }
 
   const __m512i INFV = _mm512_set1_epi32(BAND_INF32);
   const __m512i QV = _mm512_set1_epi32((int32_t)Q);
