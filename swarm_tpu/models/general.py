@@ -36,7 +36,10 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
     backend = os.environ.get("SWARM_TPU_BACKEND", "auto")
     # engine selection: "network" = bulk MXU qgram join + native exact
     # diffs + graph-driven clustering replay (the TPU-first path, auto
-    # above 32k amplicons on a real accelerator in the 8-bit regime);
+    # above 16k amplicons on a real accelerator in the 8-bit regime —
+    # measured crossover after the 16-lane batch DP: 20k x 400nt runs
+    # 0.62-0.76s on the network engine vs 0.83-1.16s on the seed loop,
+    # whose small per-seed batches underfill the vector lanes);
     # "native" = the all-host C seed/subseed loop; the Python loop
     # (with optional device screens) stays as the oracle and as the
     # explicit SWARM_TPU_D2_ENGINE=python/device path
@@ -47,7 +50,7 @@ def algo_run(p: Parameters, db: Db, progress: Progress) -> None:
     if engine == "auto":
         engine = "native" if _native.available() else "python"
         if (
-            _native.available() and bit_mode == 8 and n >= 32768
+            _native.available() and bit_mode == 8 and n >= 16384
             and backend in ("auto", "jax", "jax_probe", "jax_shard")
         ):
             try:
