@@ -22,6 +22,7 @@
 #define MAX_SEQUENCE_LENGTH 67108861LL /* src/db.cc:439 */
 #define MAX_HEADER_LENGTH 16777215LL   /* src/db.cc:443 */
 #define INT64_MAX_C 9223372036854775807LL
+#define BAND_INF32 (1 << 28) /* int32 DP infinity for the 16-lane kernels */
 
 /* unsigned decimal emitter: sprintf("%lld") costs ~300ns a call and
  * the writers print millions of integers (622k swarms at the 1M bench
@@ -1555,7 +1556,449 @@ int64_t d2_subseed_screen(const uint64_t *profiles, const int64_t *order,
  * cigar >= 8*2*longest+16. cluster_base offsets the C/S/H cluster
  * numbering (threaded ranges pass the count of non-attached swarms
  * before their range). */
-int64_t write_uclust_d1_range(
+/* ------------------------------------------------------------------ */
+/* 16-lane batch of the uclust writer's banded aligner: the writer     */
+/* replicates the reference's scalar nw() tie-break universe           */
+/* (src/nw.cc), which differs from the search kernels' — so this is a  */
+/* separate lane-parallel forward pass with nw_align_banded's exact    */
+/* recurrences and direction bits. Lanes are independent (member,      */
+/* seed) pairs gathered across swarms; per-lane scalar backtrack +     */
+/* CIGAR RLE reads the lane-strided direction tile. Accepted results   */
+/* are byte-identical to nw_align_banded's (the band-exit bound proof  */
+/* holds per lane); rejected lanes escalate through the existing       */
+/* scalar path.                                                        */
+/* ------------------------------------------------------------------ */
+
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+/* scratch (caller): qT/dT [maxlen*16], Hcol/Ecol [maxq] __m512i,
+ * dirs_t [maxd * Bmax * 16], raw [2*maxlen + 2] per lane reused.
+ * out3s[l*3+..] = diff, alen, cigar_len for accepted lanes;
+ * cigars + l*cigar_stride receives the NUL-terminated cigar.
+ * accepted[l]: 1 = result filled, 0 = escalate via the scalar path. */
+static void uclust_align_batch16(
+    const uint8_t *const *dseqs, const int64_t *dlens,
+    const uint8_t *const *qseqs, const int64_t *qlens, int nlanes,
+    int64_t mismatch, int64_t go, int64_t ge, int64_t w, uint8_t *dirs_t,
+    uint8_t *qT, uint8_t *dT, __m512i *Hcol, __m512i *Ecol, char *raw,
+    char *cigars, int64_t cigar_stride, int64_t *out3s, int *accepted) {
+  const int64_t Q = go + ge, R = ge;
+  int32_t qlen32[16], dlen32[16], wL32[16], wR32[16];
+  int64_t maxq = 0, maxd = 0, wLmax = 0, wRmax = 0;
+  uint16_t active = 0;
+  for (int l = 0; l < 16; l++) {
+    accepted[l] = 0;
+    int64_t ql = l < nlanes ? qlens[l] : 0;
+    int64_t dl = l < nlanes ? dlens[l] : 0;
+    qlen32[l] = 0;
+    dlen32[l] = 0;
+    wL32[l] = 0;
+    wR32[l] = 0;
+    if (ql <= 0 || dl <= 0)
+      continue;
+    int64_t F = ql - dl;
+    int64_t wL = w + (F < 0 ? -F : 0);
+    int64_t wR = w + (F > 0 ? F : 0);
+    active |= (uint16_t)(1u << l);
+    qlen32[l] = (int32_t)ql;
+    dlen32[l] = (int32_t)dl;
+    wL32[l] = (int32_t)wL;
+    wR32[l] = (int32_t)wR;
+    if (ql > maxq)
+      maxq = ql;
+    if (dl > maxd)
+      maxd = dl;
+    if (wL > wLmax)
+      wLmax = wL;
+    if (wR > wRmax)
+      wRmax = wR;
+  }
+  if (!active)
+    return;
+  const int64_t Bmax = wLmax + wRmax + 1;
+
+  for (int l = 0; l < nlanes; l++) {
+    if (!(active >> l & 1))
+      continue;
+    const uint8_t *q = qseqs[l];
+    for (int64_t p = 0; p < qlen32[l]; p++)
+      qT[p * 16 + l] = q[p];
+    const uint8_t *dd = dseqs[l];
+    for (int64_t p = 0; p < dlen32[l]; p++)
+      dT[p * 16 + l] = dd[p];
+  }
+
+  const __m512i INFV = _mm512_set1_epi32(BAND_INF32);
+  const __m512i QV = _mm512_set1_epi32((int32_t)Q);
+  const __m512i RV = _mm512_set1_epi32((int32_t)R);
+  const __m512i MMV = _mm512_set1_epi32((int32_t)mismatch);
+  const __m512i qlenv = _mm512_loadu_si512((const void *)qlen32);
+  const __m512i dlenv = _mm512_loadu_si512((const void *)dlen32);
+  const __m512i wLv = _mm512_loadu_si512((const void *)wL32);
+  const __m512i wRv = _mm512_loadu_si512((const void *)wR32);
+  const __m512i qlm1 = _mm512_sub_epi32(qlenv, _mm512_set1_epi32(1));
+  const __m512i dlm1 = _mm512_sub_epi32(dlenv, _mm512_set1_epi32(1));
+
+  /* top boundary: Hbuf[c] = go+(c+1)ge for c <= min(wR, qlen-1),
+   * INF elsewhere (per lane) */
+  for (int64_t c = 0; c < maxq; c++) {
+    const __m512i cv = _mm512_set1_epi32((int32_t)c);
+    const __mmask16 m = _mm512_kand(_mm512_cmple_epi32_mask(cv, wRv),
+                                    _mm512_cmplt_epi32_mask(cv, qlenv));
+    Hcol[c] = _mm512_mask_mov_epi32(
+        INFV, m, _mm512_set1_epi32((int32_t)(go + (c + 1) * ge)));
+    Ecol[c] = _mm512_mask_mov_epi32(
+        INFV, m, _mm512_set1_epi32((int32_t)(2 * go + (c + 2) * ge)));
+  }
+
+  __m512i cstarv = INFV;
+  for (int64_t r = 0; r < maxd; r++) {
+    const __m512i rv = _mm512_set1_epi32((int32_t)r);
+    const __mmask16 m_rowlive = _mm512_cmplt_epi32_mask(rv, dlenv);
+    const __mmask16 m_lastrow = _mm512_cmpeq_epi32_mask(rv, dlm1);
+    const __m512i dvec = _mm512_cvtepu8_epi32(
+        _mm_loadu_si128((const __m128i *)(dT + r * 16)));
+    const __m512i bval =
+        _mm512_set1_epi32((int32_t)(r == 0 ? 0 : go + r * ge));
+    const __m512i tinit =
+        _mm512_set1_epi32((int32_t)(2 * go + (r + 2) * ge));
+    /* per-lane band columns this row */
+    const __m512i cstartv = _mm512_max_epi32(_mm512_sub_epi32(rv, wLv),
+                                             _mm512_setzero_si512());
+    const __m512i cendv =
+        _mm512_min_epi32(qlm1, _mm512_add_epi32(rv, wRv));
+    /* T starts at the boundary only when the band touches column 0 */
+    __m512i Tv = _mm512_mask_mov_epi32(
+        INFV, _mm512_cmple_epi32_mask(rv, wLv), tinit);
+    int64_t clo = r - wLmax > 0 ? r - wLmax : 0;
+    int64_t chi = r + wRmax < maxq - 1 ? r + wRmax : maxq - 1;
+    uint8_t *dirrow = dirs_t + r * Bmax * 16;
+    /* diag-in for the first visited column: H[r-1][clo-1] when the
+     * global band has left column 0 (the scalar's prev_H), else the
+     * c == 0 boundary handled inside the loop */
+    __m512i prevH = clo > 0 ? Hcol[clo - 1] : bval;
+    for (int64_t c = clo; c <= chi; c++) {
+      const __m512i cv = _mm512_set1_epi32((int32_t)c);
+      const __mmask16 inb = _mm512_kand(
+          _mm512_kand(_mm512_cmpge_epi32_mask(cv, cstartv),
+                      _mm512_cmple_epi32_mask(cv, cendv)),
+          m_rowlive);
+      const __m512i qvec = _mm512_cvtepu8_epi32(
+          _mm_loadu_si128((const __m128i *)(qT + c * 16)));
+      const __m512i diag_in = c == 0 ? bval : prevH;
+      const __mmask16 m_eq = _mm512_cmpeq_epi32_mask(dvec, qvec);
+      const __m512i diag = _mm512_add_epi32(
+          diag_in, _mm512_mask_mov_epi32(MMV, m_eq, _mm512_setzero_si512()));
+      const __m512i left = Ecol[c];
+      const __m512i pre = _mm512_min_epi32(diag, left);
+      const __m512i top = Tv;
+      const __m512i newH = _mm512_min_epi32(pre, top);
+      /* direction bits, verbatim nw_align_banded semantics */
+      const __mmask16 b1 = _mm512_cmplt_epi32_mask(top, diag);
+      const __m512i after_top = _mm512_min_epi32(diag, top);
+      const __mmask16 b2 = _mm512_cmple_epi32_mask(left, after_top);
+      const __m512i diag2 = _mm512_add_epi32(newH, QV);
+      const __m512i left2 = _mm512_add_epi32(left, RV);
+      const __m512i top2 = _mm512_add_epi32(top, RV);
+      const __mmask16 b4 = _mm512_cmplt_epi32_mask(top2, diag2);
+      const __mmask16 b8 = _mm512_cmplt_epi32_mask(left2, diag2);
+      __m512i bits = _mm512_maskz_set1_epi32(b1, 1);
+      bits = _mm512_mask_add_epi32(bits, b2, bits, _mm512_set1_epi32(2));
+      bits = _mm512_mask_add_epi32(bits, b4, bits, _mm512_set1_epi32(4));
+      bits = _mm512_mask_add_epi32(bits, b8, bits, _mm512_set1_epi32(8));
+      _mm_storeu_si128(
+          (__m128i *)(dirrow + (c - (r - wLmax)) * 16),
+          _mm512_cvtepi32_epi8(bits));
+      /* masked state updates: untouched columns keep last row's
+       * values, exactly like the scalar's partial sweep */
+      prevH = Hcol[c];
+      Hcol[c] = _mm512_mask_mov_epi32(Hcol[c], inb, newH);
+      Ecol[c] = _mm512_mask_mov_epi32(Ecol[c], inb,
+                                      _mm512_min_epi32(diag2, left2));
+      const __m512i open2 = _mm512_add_epi32(pre, QV);
+      Tv = _mm512_mask_mov_epi32(
+          Tv, inb, _mm512_min_epi32(_mm512_add_epi32(top, RV), open2));
+      const __mmask16 m_score = _mm512_kand(
+          _mm512_kand(m_lastrow, _mm512_cmpeq_epi32_mask(cv, qlm1)), inb);
+      cstarv = _mm512_mask_mov_epi32(cstarv, m_score, newH);
+    }
+  }
+
+  int32_t cstars[16];
+  _mm512_storeu_si512((void *)cstars, cstarv);
+  for (int l = 0; l < nlanes; l++) {
+    if (!(active >> l & 1))
+      continue;
+    const int64_t qlen = qlen32[l], dlen = dlen32[l];
+    const int64_t wL = wL32[l], wR = wR32[l];
+    const int64_t B_l = wL + wR + 1;
+    if (B_l >= qlen)
+      continue; /* band covers the matrix: scalar path decides */
+    const int64_t absF = qlen >= dlen ? qlen - dlen : dlen - qlen;
+    if ((int64_t)cstars[l] >= go + ge * (2 * (w + 1) + absF))
+      continue; /* band exit: escalate via the scalar path */
+    /* backtrack — same decision order as nw_align_banded; the tile is
+     * indexed by diagonal offset + wLmax, lane-strided */
+    const uint8_t *qseq = qseqs[l];
+    const uint8_t *dseq = dseqs[l];
+    int64_t column = qlen, row = dlen;
+    int64_t pos = qlen + dlen;
+    const int64_t total = pos;
+    int64_t matches = 0;
+    char operation = 0;
+    int ok = 1;
+    while (column > 0 && row > 0) {
+      const int64_t r1 = row - 1;
+      const int64_t joff = (column - 1) - r1 + wLmax;
+      if ((column - 1) < r1 - wL || (column - 1) > r1 + wR || joff < 0 ||
+          joff >= Bmax) {
+        ok = 0; /* defensive: cannot happen when the bound held */
+        break;
+      }
+      const uint8_t cell = dirs_t[(r1 * Bmax + joff) * 16 + l];
+      if (operation == 'I' && (cell & 8)) {
+        row--;
+        raw[--pos] = 'I';
+      } else if (operation == 'D' && (cell & 4)) {
+        column--;
+        raw[--pos] = 'D';
+      } else if (cell & 2) {
+        row--;
+        raw[--pos] = 'I';
+        operation = 'I';
+      } else if (cell & 1) {
+        column--;
+        raw[--pos] = 'D';
+        operation = 'D';
+      } else {
+        if (qseq[column - 1] == dseq[row - 1])
+          matches++;
+        column--;
+        row--;
+        raw[--pos] = 'M';
+        operation = 'M';
+      }
+    }
+    if (!ok)
+      continue;
+    while (column > 0) {
+      column--;
+      raw[--pos] = 'D';
+    }
+    while (row > 0) {
+      row--;
+      raw[--pos] = 'I';
+    }
+    const int64_t alen = total - pos;
+    char *cigar = cigars + l * cigar_stride;
+    int64_t clen = 0;
+    int64_t i = pos;
+    while (i < total) {
+      const char ch = raw[i];
+      int64_t cnt = 1;
+      while (i + cnt < total && raw[i + cnt] == ch)
+        cnt++;
+      if (cnt > 1)
+        clen += emit_u64((uint64_t)cnt, cigar + clen);
+      cigar[clen++] = ch;
+      i += cnt;
+    }
+    cigar[clen] = 0;
+    out3s[l * 3 + 0] = alen - matches;
+    out3s[l * 3 + 1] = alen;
+    out3s[l * 3 + 2] = clen;
+    accepted[l] = 1;
+  }
+}
+#endif /* AVX512 */
+
+/* Per-range cache of batch-aligned H-line results: slot m - m0 holds
+ * (diff, alen, cigar) when the 16-lane band-4 pass accepted that
+ * member; -1 slots take the writer's scalar ladder unchanged. An
+ * accepted batch result is byte-identical to the scalar bw=4 rung
+ * (same recurrences, bits and band-exit bound), so consulting the
+ * cache cannot change the output. */
+typedef struct {
+  int64_t m0;
+  int32_t *clen; /* per member slot: cigar length, -1 = unresolved */
+  int32_t *meta; /* per member slot: diff, alen */
+  int64_t *coff; /* per member slot: arena offset of the cigar */
+  char *arena;
+  int64_t arena_len, arena_cap;
+} uclust_batch_t;
+
+static void uclust_batch_free(uclust_batch_t *ub) {
+  free(ub->clen);
+  free(ub->meta);
+  free(ub->coff);
+  free(ub->arena);
+  memset(ub, 0, sizeof(*ub));
+}
+
+static void uclust_batch_prepass(
+    uclust_batch_t *ub, const uint8_t *codes, const int64_t *seq_off,
+    const int64_t *seq_len, const int64_t *members, const int64_t *bounds,
+    const uint8_t *attached, int64_t nswarms, const int64_t *swarm_seed,
+    int64_t mismatch, int64_t go, int64_t ge, char *raw) {
+  memset(ub, 0, sizeof(*ub));
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+  enum { BW = 4, FCAP = 16, LCAP = 4096 };
+  const int64_t Bcap = 2 * BW + 2 * FCAP + 1;
+  const int64_t CSTRIDE = 4 * LCAP + 32;
+  const int64_t total = nswarms > 0 ? bounds[nswarms] - bounds[0] : 0;
+  if (total < 64)
+    return; /* batch + scratch setup not worth it */
+  const int64_t pen = mismatch > go + ge ? mismatch : go + ge;
+  if (pen <= 0 || pen >= 65536)
+    return; /* int32 headroom proof: values <= INF + ~(2L+B)*pen */
+  const int64_t m0 = bounds[0];
+
+  int32_t *clen = (int32_t *)malloc((size_t)total * 4);
+  int32_t *meta = (int32_t *)malloc((size_t)total * 8);
+  int64_t *coff = (int64_t *)malloc((size_t)total * 8);
+  uint8_t *qT = (uint8_t *)malloc(LCAP * 16);
+  uint8_t *dT = (uint8_t *)malloc(LCAP * 16);
+  __m512i *Hcol = (__m512i *)aligned_alloc(64, LCAP * 64);
+  __m512i *Ecol = (__m512i *)aligned_alloc(64, LCAP * 64);
+  uint8_t *dirs_t = (uint8_t *)malloc((size_t)(LCAP * Bcap * 16));
+  char *cig16 = (char *)malloc((size_t)(16 * CSTRIDE));
+  const uint8_t **pd =
+      (const uint8_t **)malloc((size_t)total * sizeof(void *));
+  const uint8_t **pq =
+      (const uint8_t **)malloc((size_t)total * sizeof(void *));
+  int64_t *pdl = (int64_t *)malloc((size_t)total * 8);
+  int64_t *pql = (int64_t *)malloc((size_t)total * 8);
+  int64_t *pm = (int64_t *)malloc((size_t)total * 8);
+  char *arena = (char *)malloc(1 << 16);
+  if (!clen || !meta || !coff || !qT || !dT || !Hcol || !Ecol || !dirs_t ||
+      !cig16 || !pd || !pq || !pdl || !pql || !pm || !arena)
+    goto fail;
+  memset(clen, 0xff, (size_t)total * 4); /* all slots -1 */
+
+  /* collect the members the substitution fast path won't cover */
+  int64_t npend = 0;
+  for (int64_t s = 0; s < nswarms; s++) {
+    if (attached[s])
+      continue;
+    const int64_t seed = swarm_seed[s];
+    const uint8_t *qseq = codes + seq_off[seed];
+    const int64_t qlen = seq_len[seed];
+    if (qlen > LCAP)
+      continue;
+    for (int64_t m = bounds[s] + 1; m < bounds[s + 1]; m++) {
+      const int64_t amp = members[m];
+      const int64_t dlen = seq_len[amp];
+      if (dlen == qlen) {
+        const uint8_t *ds = codes + seq_off[amp];
+        int64_t h = 0;
+        for (int64_t p = 0; p < qlen; p++)
+          h += ds[p] != qseq[p];
+        if (h * mismatch < 2 * (go + ge))
+          continue; /* emission's fast path owns it */
+      }
+      const int64_t F = qlen - dlen;
+      const int64_t aF = F < 0 ? -F : F;
+      if (aF > FCAP || dlen > LCAP || dlen <= 0)
+        continue;
+      if (2 * BW + aF + 1 >= qlen)
+        continue; /* band covers the matrix: scalar path decides */
+      pd[npend] = codes + seq_off[amp];
+      pdl[npend] = dlen;
+      pq[npend] = qseq;
+      pql[npend] = qlen;
+      pm[npend] = m;
+      npend++;
+    }
+  }
+
+  for (int64_t i = 0; i < npend; i += 16) {
+    const int nl = npend - i < 16 ? (int)(npend - i) : 16;
+    int64_t out3s[48];
+    int acc[16];
+    uclust_align_batch16(pd + i, pdl + i, pq + i, pql + i, nl, mismatch, go,
+                         ge, BW, dirs_t, qT, dT, Hcol, Ecol, raw, cig16,
+                         CSTRIDE, out3s, acc);
+    for (int l = 0; l < nl; l++) {
+      if (!acc[l])
+        continue;
+      const int64_t cl = out3s[l * 3 + 2];
+      if (ub->arena_len + cl + 1 > (arena ? ub->arena_cap : 0)) {
+        int64_t nc = ub->arena_cap > 0 ? ub->arena_cap : 1 << 16;
+        while (ub->arena_len + cl + 1 > nc)
+          nc *= 2;
+        char *nb = (char *)realloc(arena, (size_t)nc);
+        if (!nb)
+          goto fail;
+        arena = nb;
+        ub->arena_cap = nc;
+      }
+      const int64_t bi = pm[i + l] - m0;
+      memcpy(arena + ub->arena_len, cig16 + l * CSTRIDE, (size_t)cl + 1);
+      clen[bi] = (int32_t)cl;
+      meta[bi * 2 + 0] = (int32_t)out3s[l * 3 + 0];
+      meta[bi * 2 + 1] = (int32_t)out3s[l * 3 + 1];
+      coff[bi] = ub->arena_len;
+      ub->arena_len += cl + 1;
+    }
+  }
+
+  if (getenv("SWARM_UC_DEBUG")) {
+    int64_t hits = 0;
+    for (int64_t i = 0; i < total; i++)
+      hits += clen[i] >= 0;
+    fprintf(stderr, "[uc_batch] total=%lld pend=%lld accepted=%lld\n",
+            (long long)total, (long long)npend, (long long)hits);
+  }
+  free(qT);
+  free(dT);
+  free(Hcol);
+  free(Ecol);
+  free(dirs_t);
+  free(cig16);
+  free(pd);
+  free(pq);
+  free(pdl);
+  free(pql);
+  free(pm);
+  ub->m0 = m0;
+  ub->clen = clen;
+  ub->meta = meta;
+  ub->coff = coff;
+  ub->arena = arena;
+  return;
+fail:
+  free(clen);
+  free(meta);
+  free(coff);
+  free(qT);
+  free(dT);
+  free(Hcol);
+  free(Ecol);
+  free(dirs_t);
+  free(cig16);
+  free(pd);
+  free(pq);
+  free(pdl);
+  free(pql);
+  free(pm);
+  free(arena);
+  memset(ub, 0, sizeof(*ub));
+#else
+  (void)codes;
+  (void)seq_off;
+  (void)seq_len;
+  (void)members;
+  (void)bounds;
+  (void)attached;
+  (void)nswarms;
+  (void)swarm_seed;
+  (void)mismatch;
+  (void)go;
+  (void)ge;
+  (void)raw;
+#endif
+}
+
+static int64_t uclust_range_emit(
     const uint8_t *codes, const int64_t *seq_off, const int64_t *seq_len,
     const uint8_t *hdr_arena, const int64_t *hdr_off, const int64_t *hdr_len,
     const int32_t *ab_start, const int32_t *ab_end, const int64_t *abundance,
@@ -1564,7 +2007,7 @@ int64_t write_uclust_d1_range(
     int64_t nswarms, const int64_t *swarm_seed, const int64_t *swarm_size,
     int64_t mismatch, int64_t go, int64_t ge, int64_t cluster_base,
     uint8_t *dirs, int64_t *Hbuf, int64_t *Ebuf, char *raw, char *cigar,
-    char *out, int64_t out_cap) {
+    char *out, int64_t out_cap, const uclust_batch_t *ub) {
   int64_t w = 0;
   int64_t cluster_no = cluster_base;
   char seed_id[1 << 16];
@@ -1633,6 +2076,16 @@ int64_t write_uclust_d1_range(
           done = 1;
         }
       }
+      /* 16-lane batch pre-pass cache: byte-identical to the bw=4
+       * scalar rung below, so a hit just skips that DP */
+      if (!done && ub->clen != NULL && ub->clen[m - ub->m0] >= 0) {
+        const int64_t bi = m - ub->m0;
+        out3[0] = ub->meta[bi * 2 + 0];
+        out3[1] = ub->meta[bi * 2 + 1];
+        out3[2] = ub->clen[bi];
+        memcpy(cigar, ub->arena + ub->coff[bi], (size_t)out3[2] + 1);
+        done = 1;
+      }
       /* swarm members sit a few edits from their seed: a narrow banded
        * DP (output-identical by the band-exit cost bound, see
        * nw_align_banded) covers almost every pair; escalate, then fall
@@ -1685,6 +2138,28 @@ int64_t write_uclust_d1_range(
     }
     cluster_no++;
   }
+  return w;
+}
+
+int64_t write_uclust_d1_range(
+    const uint8_t *codes, const int64_t *seq_off, const int64_t *seq_len,
+    const uint8_t *hdr_arena, const int64_t *hdr_off, const int64_t *hdr_len,
+    const int32_t *ab_start, const int32_t *ab_end, const int64_t *abundance,
+    int64_t append_ab, int usearch,
+    const int64_t *members, const int64_t *bounds, const uint8_t *attached,
+    int64_t nswarms, const int64_t *swarm_seed, const int64_t *swarm_size,
+    int64_t mismatch, int64_t go, int64_t ge, int64_t cluster_base,
+    uint8_t *dirs, int64_t *Hbuf, int64_t *Ebuf, char *raw, char *cigar,
+    char *out, int64_t out_cap) {
+  uclust_batch_t ub;
+  uclust_batch_prepass(&ub, codes, seq_off, seq_len, members, bounds,
+                       attached, nswarms, swarm_seed, mismatch, go, ge, raw);
+  int64_t w = uclust_range_emit(
+      codes, seq_off, seq_len, hdr_arena, hdr_off, hdr_len, ab_start, ab_end,
+      abundance, append_ab, usearch, members, bounds, attached, nswarms,
+      swarm_seed, swarm_size, mismatch, go, ge, cluster_base, dirs, Hbuf,
+      Ebuf, raw, cigar, out, out_cap, &ub);
+  uclust_batch_free(&ub);
   return w;
 }
 
@@ -2502,7 +2977,6 @@ static void nw_pair_ideal_banded(const uint8_t *qseq, int64_t qlen,
                                  int64_t *diff_out, int64_t *alen_out);
 
 #define D2_BATCH_MAX_WIDTH 96 /* wider bands (huge d) take the scalar path */
-#define BAND_INF32 (1 << 28)
 #if defined(__AVX512F__) && defined(__AVX512BW__)
 #include <immintrin.h>
 static void d2_pair_diff_batch16(const uint8_t *const *qs,

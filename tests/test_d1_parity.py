@@ -27,6 +27,35 @@ def test_d1_dense_cloud(both):
     both.compare(ALL_OUTPUTS, fasta)
 
 
+def test_d1_uclust_batch_aligner(both):
+    # >64 members with indel-rich mutation CHAINS: multi-generation
+    # swarms whose H-lines carry real insertions/deletions, so the
+    # 16-lane batched banded aligner (uclust_align_batch16) owns most
+    # of the uclust writer's alignments rather than the substitution
+    # fast path; output must stay byte-identical to the reference
+    import random
+
+    from genfasta import mutate, random_seq
+
+    rng = random.Random(77)
+    seen = set()
+    records = []
+    idx = 0
+    for _ in range(12):
+        chain = [random_seq(rng, rng.randint(120, 160))]
+        for _ in range(59):
+            parent = chain[rng.randrange(len(chain))]
+            chain.append(mutate(parent, rng, 1))
+        for seq in chain:
+            if seq in seen:
+                continue
+            seen.add(seq)
+            records.append(f">c{idx}_{rng.randint(1, 500)}\n{seq}\n")
+            idx += 1
+    rng.shuffle(records)
+    both.compare(ALL_OUTPUTS, "".join(records))
+
+
 def test_d1_duplicate_sequences_fatal(both):
     both.compare(["-o", "out.txt", "-l", "log.txt"], with_duplicates())
 
