@@ -3763,10 +3763,15 @@ int64_t d1_network_native(const uint8_t *arena, const int64_t *offsets,
   uint64_t *sufshift = (uint64_t *)malloc((size_t)(maxlen + 1) * 8);
   int64_t pair_cap = 4 * n + 64;
   uint64_t *pairs = (uint64_t *)malloc((size_t)pair_cap * 8);
+  /* L1-resident zpos table: the 4L substitution probes per amplicon
+   * each cost two splitmix64 evaluations (4 multiplies) as calls;
+   * as loads they are one L1 hit each (code 4 aliases 4*(p+1)+0 by
+   * the (pos<<2)|c bit layout, which the +2 sizing covers) */
+  uint64_t *zt = zpos_table(maxlen);
   if (seqhash == NULL || slots == NULL || pre == NULL || sufshift == NULL ||
-      pairs == NULL || bset == NULL) {
+      pairs == NULL || bset == NULL || zt == NULL) {
     free(seqhash); free(slots); free(pre); free(sufshift); free(pairs);
-    free(bset);
+    free(bset); free(zt);
     return -2;
   }
   for (int64_t i = 0; i < cap_tab; i++)
@@ -3775,7 +3780,7 @@ int64_t d1_network_native(const uint8_t *arena, const int64_t *offsets,
     const uint8_t *s = arena + offsets[i];
     uint64_t h = 0;
     for (int64_t p = 0; p < lengths[i]; p++)
-      h ^= zpos(p, s[p]);
+      h ^= ZPT(zt, p, s[p]);
     seqhash[i] = h;
     uint64_t slot = h & (uint64_t)(cap_tab - 1);
     while (slots[slot] >= 0)
@@ -3793,65 +3798,68 @@ int64_t d1_network_native(const uint8_t *arena, const int64_t *offsets,
     const uint64_t full = seqhash[a];
     pre[0] = 0;
     for (int64_t p = 0; p < L; p++)
-      pre[p + 1] = pre[p] ^ zpos(p, s[p]);
+      pre[p + 1] = pre[p] ^ ZPT(zt, p, s[p]);
     sufshift[L] = 0;
     for (int64_t p = L - 1; p >= 1; p--)
-      sufshift[p] = sufshift[p + 1] ^ zpos(p - 1, s[p]);
+      sufshift[p] = sufshift[p + 1] ^ ZPT(zt, p - 1, s[p]);
 
-    /* probe hv; verify dist-1 on hash match */
-    for (int64_t p = 0; p <= L; p++) {
-      uint64_t hv_del = 0;
-      int have_del = 0;
-      if (p < L && L > 1) {
-        hv_del = pre[p] ^ sufshift[p + 1];
-        have_del = 1;
-      }
-      for (int v = 0; v < 4; v++) {
-        uint64_t hv;
-        if (v < 3) {
-          if (p >= L)
-            continue;
-          /* substitution to one of the three other codes (1..4) */
-          int oc = s[p];
-          int c = oc + 1 + v;
-          if (c > 4)
-            c -= 4;
-          hv = full ^ zpos(p, oc) ^ zpos(p, c);
-        } else {
-          if (!have_del)
-            continue;
-          hv = hv_del;
-        }
-        uint64_t hb = hv & bmask;
-        if (!((bset[hb >> 6] >> (hb & 63)) & 1))
-          continue;
-        uint64_t slot = hv & (uint64_t)(cap_tab - 1);
-        while (slots[slot] >= 0) {
-          int64_t b = slots[slot];
-          slot = (slot + 1) & (uint64_t)(cap_tab - 1);
-          if (b == a || seqhash[b] != hv)
-            continue;
-          if (!dist1_check(s, L, arena + offsets[b], lengths[b]))
-            continue;
-          uint64_t key = a < b ? ((uint64_t)a << 32) | (uint64_t)b
-                               : ((uint64_t)b << 32) | (uint64_t)a;
-          if (n_pairs >= pair_cap) {
-            int64_t nc2 = pair_cap * 2;
-            uint64_t *np_ = (uint64_t *)realloc(pairs, (size_t)nc2 * 8);
-            if (np_ == NULL) {
-              rc = -2;
-              break;
-            }
-            pairs = np_;
-            pair_cap = nc2;
-          }
-          pairs[n_pairs++] = key;
-        }
-        if (rc != 0)
-          break;
-      }
+    /* probe hv; verify dist-1 on hash match. Two branch-light passes
+     * (3 substitutions per position, then the deletions): probe ORDER
+     * is free because pairs are deduped through one canonical qsort
+     * below. The rare bitset hit takes the slow table walk. */
+#define D1_PROBE(hv_expr)                                                   \
+    do {                                                                    \
+      const uint64_t hv = (hv_expr);                                        \
+      const uint64_t hb = hv & bmask;                                       \
+      if (((bset[hb >> 6] >> (hb & 63)) & 1)) {                             \
+        uint64_t slot = hv & (uint64_t)(cap_tab - 1);                       \
+        while (slots[slot] >= 0) {                                          \
+          int64_t b = slots[slot];                                          \
+          slot = (slot + 1) & (uint64_t)(cap_tab - 1);                      \
+          if (b == a || seqhash[b] != hv)                                   \
+            continue;                                                       \
+          if (!dist1_check(s, L, arena + offsets[b], lengths[b]))           \
+            continue;                                                       \
+          uint64_t key = a < b ? ((uint64_t)a << 32) | (uint64_t)b          \
+                               : ((uint64_t)b << 32) | (uint64_t)a;         \
+          if (n_pairs >= pair_cap) {                                        \
+            int64_t nc2 = pair_cap * 2;                                     \
+            uint64_t *np_ = (uint64_t *)realloc(pairs, (size_t)nc2 * 8);    \
+            if (np_ == NULL) {                                              \
+              rc = -2;                                                      \
+              break;                                                        \
+            }                                                               \
+            pairs = np_;                                                    \
+            pair_cap = nc2;                                                 \
+          }                                                                 \
+          pairs[n_pairs++] = key;                                           \
+        }                                                                   \
+      }                                                                     \
+    } while (0)
+
+    for (int64_t p = 0; p < L && rc == 0; p++) {
+      /* base = hash with position p's code XORed out, hoisted over
+       * the three substitution probes */
+      /* the three other codes (alphabet 0..3) from a tiny lookup,
+       * fully unrolled (a c==oc skip test mispredicts on random DNA;
+       * a wraparound add costs 3 ops per probe). Probing the exact
+       * three substitutions from BOTH sides finds each pair twice;
+       * the canonical-key dedup keeps the edge set identical. */
+      static const uint8_t OTHER[4][3] = {
+          {1, 2, 3}, {0, 2, 3}, {0, 1, 3}, {0, 1, 2}};
+      const uint64_t *zrow = zt + 4 * p;
+      const uint8_t *ot = OTHER[s[p]];
+      const uint64_t base = full ^ zrow[s[p]];
+      D1_PROBE(base ^ zrow[ot[0]]);
+      D1_PROBE(base ^ zrow[ot[1]]);
+      D1_PROBE(base ^ zrow[ot[2]]);
     }
+    if (L > 1)
+      for (int64_t p = 0; p < L && rc == 0; p++)
+        D1_PROBE(pre[p] ^ sufshift[p + 1]);
+#undef D1_PROBE
   }
+  free(zt);
   free(pre);
   free(sufshift);
   free(slots);
