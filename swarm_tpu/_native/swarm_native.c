@@ -4890,8 +4890,9 @@ static void *d1probe_worker(void *arg) {
   d1probe_task_t *t = (d1probe_task_t *)arg;
   uint64_t *pre = (uint64_t *)malloc((size_t)(t->maxlen + 1) * 8);
   uint64_t *sufshift = (uint64_t *)malloc((size_t)(t->maxlen + 1) * 8);
-  if (!pre || !sufshift) {
-    free(pre); free(sufshift);
+  uint64_t *zt = zpos_table(t->maxlen);
+  if (!pre || !sufshift || !zt) {
+    free(pre); free(sufshift); free(zt);
     t->rc = -2;
     return NULL;
   }
@@ -4901,67 +4902,62 @@ static void *d1probe_worker(void *arg) {
     const uint64_t full = t->seqhash[a];
     pre[0] = 0;
     for (int64_t p = 0; p < L; p++)
-      pre[p + 1] = pre[p] ^ zpos(p, s[p]);
+      pre[p + 1] = pre[p] ^ ZPT(zt, p, s[p]);
     sufshift[L] = 0;
     for (int64_t p = L - 1; p >= 1; p--)
-      sufshift[p] = sufshift[p + 1] ^ zpos(p - 1, s[p]);
+      sufshift[p] = sufshift[p + 1] ^ ZPT(zt, p - 1, s[p]);
 
-    for (int64_t p = 0; p <= L; p++) {
-      uint64_t hv_del = 0;
-      int have_del = 0;
-      if (p < L && L > 1) {
-        hv_del = pre[p] ^ sufshift[p + 1];
-        have_del = 1;
-      }
-      for (int v = 0; v < 4; v++) {
-        uint64_t hv;
-        if (v < 3) {
-          if (p >= L)
-            continue;
-          int oc = s[p];
-          int c = oc + 1 + v;
-          if (c > 4)
-            c -= 4;
-          hv = full ^ zpos(p, oc) ^ zpos(p, c);
-        } else {
-          if (!have_del)
-            continue;
-          hv = hv_del;
-        }
-        uint64_t hb = hv & t->bmask;
-        if (!((t->bset[hb >> 6] >> (hb & 63)) & 1))
-          continue;
-        uint64_t slot = hv & (uint64_t)(t->cap_tab - 1);
-        while (t->slots[slot] >= 0) {
-          int64_t b = t->slots[slot];
-          slot = (slot + 1) & (uint64_t)(t->cap_tab - 1);
-          if (b == a || t->seqhash[b] != hv)
-            continue;
-          if (!dist1_check(s, L, t->arena + t->offsets[b], t->lengths[b]))
-            continue;
-          uint64_t key = a < b ? ((uint64_t)a << 32) | (uint64_t)b
-                               : ((uint64_t)b << 32) | (uint64_t)a;
-          if (t->n_pairs >= t->pair_cap) {
-            int64_t nc2 = t->pair_cap * 2;
-            uint64_t *np_ = (uint64_t *)realloc(t->pairs, (size_t)nc2 * 8);
-            if (np_ == NULL) {
-              t->rc = -2;
-              break;
-            }
-            t->pairs = np_;
-            t->pair_cap = nc2;
-          }
-          t->pairs[t->n_pairs++] = key;
-        }
-        if (t->rc != 0)
-          break;
-      }
-      if (t->rc != 0)
-        break;
+    /* same two branch-light passes as the single-thread builder
+     * (d1_network_native): exact substitutions from both sides plus
+     * deletions; order is free under the caller's canonical dedup */
+#define D1_PROBE_MT(hv_expr)                                                \
+    do {                                                                    \
+      const uint64_t hv = (hv_expr);                                        \
+      const uint64_t hb = hv & t->bmask;                                    \
+      if (((t->bset[hb >> 6] >> (hb & 63)) & 1)) {                          \
+        uint64_t slot = hv & (uint64_t)(t->cap_tab - 1);                    \
+        while (t->slots[slot] >= 0) {                                       \
+          int64_t b = t->slots[slot];                                       \
+          slot = (slot + 1) & (uint64_t)(t->cap_tab - 1);                   \
+          if (b == a || t->seqhash[b] != hv)                                \
+            continue;                                                       \
+          if (!dist1_check(s, L, t->arena + t->offsets[b], t->lengths[b]))  \
+            continue;                                                       \
+          uint64_t key = a < b ? ((uint64_t)a << 32) | (uint64_t)b          \
+                               : ((uint64_t)b << 32) | (uint64_t)a;         \
+          if (t->n_pairs >= t->pair_cap) {                                  \
+            int64_t nc2 = t->pair_cap * 2;                                  \
+            uint64_t *np_ = (uint64_t *)realloc(t->pairs, (size_t)nc2 * 8); \
+            if (np_ == NULL) {                                              \
+              t->rc = -2;                                                   \
+              break;                                                        \
+            }                                                               \
+            t->pairs = np_;                                                 \
+            t->pair_cap = nc2;                                              \
+          }                                                                 \
+          t->pairs[t->n_pairs++] = key;                                     \
+        }                                                                   \
+      }                                                                     \
+    } while (0)
+
+    for (int64_t p = 0; p < L && t->rc == 0; p++) {
+      static const uint8_t OTHER[4][3] = {
+          {1, 2, 3}, {0, 2, 3}, {0, 1, 3}, {0, 1, 2}};
+      const uint64_t *zrow = zt + 4 * p;
+      const uint8_t *ot = OTHER[s[p]];
+      const uint64_t base = full ^ zrow[s[p]];
+      D1_PROBE_MT(base ^ zrow[ot[0]]);
+      D1_PROBE_MT(base ^ zrow[ot[1]]);
+      D1_PROBE_MT(base ^ zrow[ot[2]]);
     }
+    if (L > 1)
+      for (int64_t p = 0; p < L && t->rc == 0; p++)
+        D1_PROBE_MT(pre[p] ^ sufshift[p + 1]);
+#undef D1_PROBE_MT
   }
   free(pre);
   free(sufshift);
+  free(zt);
   return NULL;
 }
 
