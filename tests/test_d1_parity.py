@@ -27,6 +27,42 @@ def test_d1_dense_cloud(both):
     both.compare(ALL_OUTPUTS, fasta)
 
 
+def test_d1_uclust_batch_escalation(both):
+    # members 17+ generations of pure deletions below their seed:
+    # |len(seed) - len(member)| > 16 exceeds the 16-lane batch's FCAP
+    # envelope, so these H-lines must escalate through the scalar
+    # banded ladder / full NW — byte parity proves the handoff
+    import random
+
+    from genfasta import random_seq
+
+    rng = random.Random(5150)
+    records = []
+    idx = 0
+    for _ in range(3):
+        seq = random_seq(rng, 160)
+        chain = [seq]
+        for _ in range(24):  # successive single deletions
+            parent = chain[-1]
+            p = rng.randrange(len(parent))
+            chain.append(parent[:p] + parent[p + 1 :])
+        # abundance descends along the chain so the longest is the seed
+        for k, s in enumerate(chain):
+            records.append(f">e{idx}_{1000 - 10 * k}\n{s}\n")
+            idx += 1
+    # pad with unrelated amplicons so the >=64-member batch pre-pass runs
+    seen = set(r.split("\n")[1] for r in records)
+    while idx < 220:
+        s = random_seq(rng, rng.randint(140, 170))
+        if s in seen:
+            continue
+        seen.add(s)
+        records.append(f">p{idx}_{rng.randint(1, 900)}\n{s}\n")
+        idx += 1
+    rng.shuffle(records)
+    both.compare(ALL_OUTPUTS, "".join(records))
+
+
 def test_d1_uclust_batch_aligner(both):
     # >64 members with indel-rich mutation CHAINS: multi-generation
     # swarms whose H-lines carry real insertions/deletions, so the
