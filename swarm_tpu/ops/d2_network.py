@@ -17,12 +17,14 @@ mindiff = ceil(hamming / 10) <= d  <=>  dot >= 1024 - 20d
 edge set, and the exact aligner rejects the rest — output-identical
 to the reference by SURVEY.md section 3.5).
 
-One jitted program scans all tile pairs (I <= J), compacts surviving
-(i, j) pairs with the two-level word-flag scheme, and accumulates them
-into a bounded device buffer; only O(survivors) bytes ever cross the
-PCIe relay. Exact per-pair diffs and the order-preserving clustering
-replay run in native code (swarm_native.c: d2_diffs_pairs /
-algo_cluster_graph).
+Two jitted programs split the work: qgram_screen_words scans tile
+pairs (I <= J) and stores each step's survivor mask as packed u32
+words (device-resident), and extract_pairs compacts every step at
+once with one hierarchical supergroup/word/bit pass whose sorts scale
+with the survivors, not the n^2/2 screen space; only O(survivors)
+bytes ever cross the PCIe relay. Exact per-pair diffs and the
+order-preserving clustering replay run in native code
+(swarm_native.c: d2_diffs_pairs / algo_cluster_graph).
 """
 
 import os
@@ -47,26 +49,26 @@ def _unpack_pm1(tile_bytes):
     return (1 - 2 * bits.astype(jnp.int8)).reshape(T, PROFILE_BITS)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("T", "n", "d", "cap_step", "cap"),
-)
-def qgram_join_program(prof_bytes, lengths, tis, tjs, T, n, d, cap_step, cap):
-    """All-pairs qgram screen over tile pairs.
+@partial(jax.jit, static_argnames=("T", "n", "d"))
+def qgram_screen_words(prof_bytes, lengths, tis, tjs, valid, T, n, d):
+    """Phase A of the all-pairs screen: survivor masks as packed words.
 
-    prof_bytes: [n_pad, 128] uint8; lengths: [n_pad] int32;
-    tis/tjs: [K] int32 tile indices (I <= J).
-    Returns (buf_a, buf_b, total, max_step): candidate pairs with
-    global ids a < b, their count, and the largest per-step count (for
-    cap_step retry).
+    The screen itself (unpack + [T,1024] x [1024,T] int8 matmul + the
+    bound masks) costs ~0.06s for ALL tile pairs at 100k amplicons;
+    what made the old one-pass program slow was the PER-STEP two-level
+    nonzero compaction — 325 separate ~0.5M-element device sorts, ~2.2s
+    of a 2.3s screen. So the scan now only writes each step's survivor
+    mask bit-packed into u32 words ([K, T*T/32], device-resident), and
+    extract_pairs() compacts ALL steps with one hierarchical pass.
+
+    tis/tjs: [K] tile indices (I <= J); valid: [K] bool (False for
+    padding steps when K is rounded up to a fixed chunk size).
     """
     dot_min = jnp.int32(PROFILE_BITS - 20 * d)
-    M = T * T
-    buf_len = cap + cap_step + 1
+    powers = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
 
     def step(carry, xs):
-        buf_a, buf_b, offset, max_step = carry
-        ti, tj = xs
+        ti, tj, ok = xs
         a_bytes = jax.lax.dynamic_slice(prof_bytes, (ti * T, 0),
                                         (T, PROFILE_BYTES))
         b_bytes = jax.lax.dynamic_slice(prof_bytes, (tj * T, 0),
@@ -87,47 +89,66 @@ def qgram_join_program(prof_bytes, lengths, tis, tjs, T, n, d, cap_step, cap):
         lb = jax.lax.dynamic_slice(lengths, (tj * T,), (T,))
         ldiff = jnp.abs(la[:, None] - lb[None, :])
 
-        mask = (dot >= dot_min) & (gi < gj) & (gj < n) & (ldiff <= d)
+        mask = (dot >= dot_min) & (gi < gj) & (gj < n) & (ldiff <= d) & ok
+        words = jnp.sum(
+            mask.reshape(-1, 32).astype(jnp.uint32) * powers,
+            axis=1, dtype=jnp.uint32,
+        )
+        return carry, words
 
-        flat = mask.reshape(-1)
-        cnt = jnp.sum(flat, dtype=jnp.int32)
-
-        # two-level compaction: word flags first (32x smaller nonzero)
-        af = flat.reshape(-1, 32)
-        wflag = jnp.any(af, axis=1)
-        n_words = jnp.sum(wflag, dtype=jnp.int32)
-        (wsel,) = jnp.nonzero(wflag, size=cap_step, fill_value=0)
-        w_picked = jnp.arange(cap_step, dtype=jnp.int32) < n_words
-        bits = af[wsel] & w_picked[:, None]
-        flat_idx = wsel[:, None] * 32 + jnp.arange(32, dtype=jnp.int32)[None, :]
-        cand = jnp.where(bits, flat_idx, M).reshape(-1)
-        (sel2,) = jnp.nonzero(cand < M, size=cap_step, fill_value=0)
-        sel = jnp.minimum(cand[sel2], M - 1)
-        rank = jnp.arange(cap_step, dtype=jnp.int32)
-        picked = rank < cnt
-
-        a_ids = ti * T + (sel // T).astype(jnp.int32)
-        b_ids = tj * T + (sel % T).astype(jnp.int32)
-
-        idx = jnp.where(picked, jnp.minimum(offset, cap) + rank,
-                        buf_len - 1)
-        buf_a = buf_a.at[idx].set(a_ids)
-        buf_b = buf_b.at[idx].set(b_ids)
-        offset = offset + jnp.minimum(cnt, cap_step)
-        max_step = jnp.maximum(max_step, cnt)
-        return (buf_a, buf_b, offset, max_step), None
-
-    buf_a = jnp.zeros(buf_len, dtype=jnp.int32)
-    buf_b = jnp.zeros(buf_len, dtype=jnp.int32)
-    (buf_a, buf_b, total, max_step), _ = jax.lax.scan(
-        step,
-        (buf_a, buf_b, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
-        (tis, tjs),
-    )
-    return buf_a, buf_b, total, max_step
+    _, words = jax.lax.scan(step, 0, (tis, tjs, valid))
+    return words  # [K, T*T/32] uint32
 
 
-# last successful (cap_step, cap) per (n_pad, d) — avoids undersized
+@partial(jax.jit, static_argnames=("T", "caps", "capw", "capc"))
+def extract_pairs(words, tis, tjs, T, caps, capw, capc):
+    """Phase B: one hierarchical compaction over every step's words.
+
+    Three levels — 32-word supergroups, then words, then bits — so each
+    jnp.nonzero sorts an array proportional to the SURVIVORS (plus one
+    K*T^2/1024-element flag pass), not to the n^2/2 screen space.
+    Selection indices ascend at every level, so pairs come out in the
+    same (step, flat-position) order the one-pass program produced.
+    Returns (ga, gb, n_s, n_w, n_c); grow the cap whose count overflows
+    and re-run only this (cheap) program — `words` stays device-resident.
+    """
+    W = words.shape[1]  # T*T/32 words per step
+    flat = words.reshape(-1)  # [K*W]
+    G = 32
+    sflag = jnp.any((flat.reshape(-1, G) != 0), axis=1)
+    n_s = jnp.sum(sflag, dtype=jnp.int32)
+    (ssel,) = jnp.nonzero(sflag, size=caps, fill_value=0)
+    spicked = jnp.arange(caps, dtype=jnp.int32) < n_s
+    gw = flat[ssel[:, None] * G + jnp.arange(G, dtype=jnp.int32)[None, :]]
+    gw = jnp.where(spicked[:, None], gw, jnp.uint32(0))  # [caps, G]
+
+    wflag = (gw != 0).reshape(-1)  # [caps*G]
+    n_w = jnp.sum(wflag, dtype=jnp.int32)
+    (wsel,) = jnp.nonzero(wflag, size=capw, fill_value=0)
+    wpicked = jnp.arange(capw, dtype=jnp.int32) < n_w
+    widx = ssel[wsel // G] * G + (wsel % G)  # global word index
+    wvals = jnp.where(wpicked, gw.reshape(-1)[wsel], jnp.uint32(0))
+
+    bits = (
+        (wvals[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :])
+        & jnp.uint32(1)
+    ).astype(bool)
+    bflat = bits.reshape(-1)  # [capw*32]
+    n_c = jnp.sum(bflat, dtype=jnp.int32)
+    (bsel,) = jnp.nonzero(bflat, size=capc, fill_value=0)
+    cpicked = jnp.arange(capc, dtype=jnp.int32) < n_c
+    pos = widx[bsel // 32] * 32 + (bsel % 32)  # global bit position
+    T2 = T * T
+    k = pos // T2
+    wt = pos % T2
+    ga = tis[k] * T + (wt // T).astype(jnp.int32)
+    gb = tjs[k] * T + (wt % T).astype(jnp.int32)
+    ga = jnp.where(cpicked, ga, -1)
+    gb = jnp.where(cpicked, gb, -1)
+    return ga, gb, n_s, n_w, n_c
+
+
+# last successful extraction caps per (n_pad, d, schema) — avoids undersized
 # first attempts on repeat runs within a process, persisted next to
 # the XLA compile cache (a fresh process that starts at different caps
 # compiles a program the cache does not hold)
@@ -209,43 +230,71 @@ class D2NetworkEngine:
         self.profiles_u64 = prof_u64
 
     def candidate_pairs(self):
-        """(pa, pb, n_screened) — unordered candidate pairs (a < b)."""
+        """(pa, pb, n_screened) — unordered candidate pairs (a < b).
+
+        Tile-pair steps run in fixed-size chunks (one compile each for
+        phase A and phase B per chunk shape); each chunk's packed
+        survivor words stay device-resident between the phases, and a
+        cap overflow re-runs only the cheap extraction program."""
         T = self.TILE
         n_tiles = self.n_pad // T
-        tis, tjs = [], []
+        all_ti, all_tj = [], []
         for i in range(n_tiles):
             for j in range(i, n_tiles):
-                tis.append(i)
-                tjs.append(j)
-        tis = jnp.asarray(np.asarray(tis, dtype=np.int32))
-        tjs = jnp.asarray(np.asarray(tjs, dtype=np.int32))
+                all_ti.append(i)
+                all_tj.append(j)
+        K = len(all_ti)
+        # chunk size bounds the [C, T*T/32] words buffer (u32): 512
+        # steps at T=4096 is 1 GB of HBM
+        chunk = int(os.environ.get("SWARM_TPU_D2_CHUNK", "512"))
+        C = min(chunk, K)
 
-        key = (self.n_pad, self.d)
-        # cap_step starts SMALL: the per-step two-level compaction is
-        # O(cap_step * 32) in its index expansion, and at 4096 it costs
-        # ~7 ms/step vs ~26 ms at 65536 (325 steps at 100k amplicons:
-        # 2.3s vs 8.4s screens); an undersized guess retries once and
-        # the winning params persist for later processes
-        cap_step, cap = _LAST_GOOD.get(key, (1 << 12, 1 << 20))
-        while True:
-            buf_a, buf_b, total, max_step = qgram_join_program(
-                self.prof_dev, self.len_dev, tis, tjs,
-                T=T, n=self.n, d=self.d, cap_step=cap_step, cap=cap,
+        key = (self.n_pad, self.d, 2)  # 2 = words-schema version
+        caps, capw, capc = _LAST_GOOD.get(key, (1 << 15, 1 << 16, 1 << 18))
+        pa_parts, pb_parts = [], []
+        total = 0
+        for c0 in range(0, K, C):
+            cstep = min(C, K - c0)
+            tis = np.zeros(C, dtype=np.int32)
+            tjs = np.zeros(C, dtype=np.int32)
+            valid = np.zeros(C, dtype=bool)
+            tis[:cstep] = all_ti[c0:c0 + cstep]
+            tjs[:cstep] = all_tj[c0:c0 + cstep]
+            valid[:cstep] = True
+            tis = jnp.asarray(tis)
+            tjs = jnp.asarray(tjs)
+            words = qgram_screen_words(
+                self.prof_dev, self.len_dev, tis, tjs, jnp.asarray(valid),
+                T=T, n=self.n, d=self.d,
             )
-            total = int(total)
-            max_step = int(max_step)
-            if max_step > cap_step:
-                cap_step = 1 << (max_step - 1).bit_length()
-                continue
-            if total > cap:
-                cap = 1 << (total - 1).bit_length()
-                continue
-            break
-        if _LAST_GOOD.get(key) != (cap_step, cap):
-            _LAST_GOOD[key] = (cap_step, cap)
+            while True:
+                ga, gb, n_s, n_w, n_c = extract_pairs(
+                    words, tis, tjs, T=T, caps=caps, capw=capw, capc=capc,
+                )
+                n_s, n_w, n_c = int(n_s), int(n_w), int(n_c)
+                if n_s > caps:
+                    caps = 1 << (n_s - 1).bit_length()
+                    continue
+                if n_w > capw:
+                    capw = 1 << (n_w - 1).bit_length()
+                    continue
+                if n_c > capc:
+                    capc = 1 << (n_c - 1).bit_length()
+                    continue
+                break
+            if n_c:
+                pa_parts.append(np.asarray(ga[:n_c]).astype(np.int64))
+                pb_parts.append(np.asarray(gb[:n_c]).astype(np.int64))
+            total += n_c
+        if _LAST_GOOD.get(key) != (caps, capw, capc):
+            _LAST_GOOD[key] = (caps, capw, capc)
             _save_good()
-        pa = np.asarray(buf_a[:total]).astype(np.int64)
-        pb = np.asarray(buf_b[:total]).astype(np.int64)
+        if pa_parts:
+            pa = np.concatenate(pa_parts)
+            pb = np.concatenate(pb_parts)
+        else:
+            pa = np.zeros(0, dtype=np.int64)
+            pb = np.zeros(0, dtype=np.int64)
         return pa, pb, total
 
     def build_adjacency(self, mismatch, gapopen, gapextend, no_break):
@@ -256,11 +305,35 @@ class D2NetworkEngine:
 
         db = self.db
         pa, pb, n_screened = self.candidate_pairs()
-        diff_ab, diff_ba = _native.d2_diffs_pairs(
-            db.codes, db.offsets, db.lengths, db.abundances, pa, pb,
-            self.d, mismatch, gapopen, gapextend, no_break,
-            nthreads=self.threads,
-        )
+        # exact diffs: device forward-tracked kernel when the pair
+        # count amortizes its dispatch (the native 16-lane kernel does
+        # ~13us/pair on this host class; the device does the same
+        # [tasks, band] DP as column-sliced elementwise rows);
+        # SWARM_TPU_D2_DIFFS=native|device overrides
+        mode = os.environ.get("SWARM_TPU_D2_DIFFS", "auto")
+        use_device = mode == "device"
+        if mode == "auto" and len(pa) >= 8192:
+            try:
+                from ..device import device_available, device_platform
+
+                use_device = device_available() and \
+                    device_platform() != "cpu"
+            except Exception:
+                use_device = False
+        if use_device:
+            from .d2_diffs_jax import DeviceDiffEngine
+
+            if not hasattr(self, "_diff_engine"):
+                self._diff_engine = DeviceDiffEngine(db, self.d)
+            diff_ab, diff_ba = self._diff_engine.diffs_pairs(
+                pa, pb, mismatch, gapopen, gapextend, no_break,
+            )
+        else:
+            diff_ab, diff_ba = _native.d2_diffs_pairs(
+                db.codes, db.offsets, db.lengths, db.abundances, pa, pb,
+                self.d, mismatch, gapopen, gapextend, no_break,
+                nthreads=self.threads,
+            )
         keep_ab = diff_ab >= 0
         keep_ba = diff_ba >= 0
         ef = np.concatenate([pa[keep_ab], pb[keep_ba]])
