@@ -137,10 +137,16 @@ def extract_pairs(words, tis, tjs, T, caps, capw, capc):
     n_c = jnp.sum(bflat, dtype=jnp.int32)
     (bsel,) = jnp.nonzero(bflat, size=capc, fill_value=0)
     cpicked = jnp.arange(capc, dtype=jnp.int32) < n_c
-    pos = widx[bsel // 32] * 32 + (bsel % 32)  # global bit position
-    T2 = T * T
-    k = pos // T2
-    wt = pos % T2
+    # Decode per-step WITHOUT forming the global bit position
+    # widx*32 + bit: that product peaks at K*T^2 (~5.4e9 at 100k
+    # amplicons, T=4096, K=325) and wraps int32 — wrapped positions
+    # decoded to garbage (k, wt) pairs, crashing or silently dropping
+    # true late-step edges above ~61k amplicons (round-4 regression).
+    # Every term below stays < 2^31: widx < K*W <= 512 * T^2/32
+    # (2.68e8 at T=4096), and wt < T^2 (1.68e7).
+    wg = widx[bsel // 32]  # global word index
+    k = wg // W  # step
+    wt = (wg % W) * 32 + (bsel % 32)  # bit position within the step's tile
     ga = tis[k] * T + (wt // T).astype(jnp.int32)
     gb = tjs[k] * T + (wt % T).astype(jnp.int32)
     ga = jnp.where(cpicked, ga, -1)
@@ -248,6 +254,11 @@ class D2NetworkEngine:
         # steps at T=4096 is 1 GB of HBM
         chunk = int(os.environ.get("SWARM_TPU_D2_CHUNK", "512"))
         C = min(chunk, K)
+        # extract_pairs decodes global word indices in int32: keep
+        # C * words-per-step < 2^31 even under env overrides
+        max_chunk = (1 << 31) // (T * T // 32 or 1)
+        if C > max_chunk:
+            C = max(int(max_chunk), 1)
 
         key = (self.n_pad, self.d, 2)  # 2 = words-schema version
         caps, capw, capc = _LAST_GOOD.get(key, (1 << 15, 1 << 16, 1 << 18))
@@ -305,6 +316,16 @@ class D2NetworkEngine:
 
         db = self.db
         pa, pb, n_screened = self.candidate_pairs()
+        if len(pa):
+            # loud invariant: a decode bug (e.g. the round-4 int32
+            # wrap) must fail here, not corrupt clusters downstream
+            hi = max(int(pa.max()), int(pb.max()))
+            lo = min(int(pa.min()), int(pb.min()))
+            if hi >= self.n or lo < 0:
+                raise AssertionError(
+                    f"d2 screen produced out-of-range pair index "
+                    f"(min={lo}, max={hi}, n={self.n})"
+                )
         # exact diffs: device forward-tracked kernel when the pair
         # count amortizes its dispatch (the native 16-lane kernel does
         # ~13us/pair on this host class; the device does the same

@@ -121,6 +121,49 @@ def _db_from_seqs(seqs):
     return db
 
 
+def test_extract_pairs_high_step_no_int32_overflow():
+    """Regression: survivor bits past global position 2^31 decode exactly.
+
+    Round-4 bug (d2_network.py extract_pairs): the decode formed the
+    global bit position pos = widx*32 + bit in int32, which wraps once
+    step*T^2 exceeds 2^31 — at the serving tile (T=4096) that is ~61k
+    amplicons, where wrapped positions decoded to garbage pairs
+    (crash, or silently dropped true late-step edges). Plant bits in a
+    late step so the old decode would wrap, and check exact (ga, gb).
+    """
+    import jax.numpy as jnp
+
+    from swarm_tpu.ops.d2_network import extract_pairs
+
+    T = 512
+    W = T * T // 32  # 8192 words per step
+    K = 8400  # step 8300: widx*32 ~ 2.18e9 > 2^31 under the old decode
+    words = np.zeros((K, W), dtype=np.uint32)
+    planted = [
+        (3, 17, 5),  # early step (sanity: below the wrap point)
+        (8300, 8000, 31),  # old pos = (8300*8192+8000)*32+31, wraps
+        (8399, 8191, 31),  # the very last representable bit
+    ]
+    for k, w, b in planted:
+        words[k, w] |= np.uint32(1) << np.uint32(b)
+    tis = np.arange(K, dtype=np.int32) % 11
+    tjs = np.arange(K, dtype=np.int32) % 13
+    ga, gb, n_s, n_w, n_c = extract_pairs(
+        jnp.asarray(words), jnp.asarray(tis), jnp.asarray(tjs),
+        T=T, caps=16, capw=16, capc=16,
+    )
+    assert int(n_c) == len(planted)
+    got = list(zip(
+        np.asarray(ga)[: len(planted)].tolist(),
+        np.asarray(gb)[: len(planted)].tolist(),
+    ))
+    want = []
+    for k, w, b in planted:
+        wt = w * 32 + b
+        want.append((int(tis[k]) * T + wt // T, int(tjs[k]) * T + wt % T))
+    assert got == want
+
+
 def test_qgram_join_matches_host_bound():
     """Device tile-pair survivors == host qgram+length screen."""
     os.environ.setdefault("SWARM_TPU_D2_TILE", "128")
