@@ -19,7 +19,10 @@ Per config we report:
   vs_baseline      ref_s / warm_s
   vs_baseline_cold ref_s / cold_s
   comparisons_per_s candidate pairs examined per second (swarm_tpu
-                   warm run; see swarm_tpu/metrics.py for what counts)
+                   warm run; see swarm_tpu/metrics.py for what counts;
+                   the reference side's candidate count is not
+                   instrumented, so no cross-tool comparison ratio is
+                   reported for it — vs_baseline is the wall ratio)
   parity           outputs byte-identical to the reference
 
 Environment knobs: SWARM_TPU_BENCH_CONFIGS (comma list; default all),
@@ -264,7 +267,6 @@ def emit(results: dict) -> None:
         "unit": "amplicons/s",
         "vs_baseline": head.get("vs_baseline"),
         "comparisons_per_s": head.get("comparisons_per_s"),
-        "comparisons_per_s_vs_ref": head.get("comparisons_per_s_vs_ref"),
         "configs": results,
     }
     print(json.dumps(line), flush=True)
@@ -356,11 +358,6 @@ def main() -> None:
                 log(f"[{name}] swarm_tpu cold: skipped (serving model)")
             if ref_bin is not None:
                 entry["vs_baseline"] = round(entry["ref_s"] / warm, 3)
-                if comparisons:
-                    # north-star denominator (BASELINE.md): same candidate
-                    # workload pushed through the reference's wall clock
-                    entry["comparisons_per_s_vs_ref"] = round(
-                        (comparisons / warm) / (comparisons / entry["ref_s"]), 3)
                 if cold is not None:
                     entry["vs_baseline_cold"] = round(entry["ref_s"] / cold, 3)
                 entry["parity"] = check_parity(cfg)

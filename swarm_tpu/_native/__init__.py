@@ -113,7 +113,7 @@ def fasta_scan(buf: bytes):
     hdr_len = np.empty(max_records, dtype=np.int64)
     hdr_lineno = np.empty(max_records, dtype=np.int64)
     filepos = np.empty(max_records, dtype=np.int64)
-    err = np.zeros(3, dtype=np.int64)
+    err = np.zeros(4, dtype=np.int64)
     n = lib.fasta_scan(
         _ptr(raw) if buflen else U8(),
         ctypes.c_int64(buflen),
@@ -122,7 +122,10 @@ def fasta_scan(buf: bytes):
         ctypes.c_int64(max_records), _ptr(err),
     )
     if n < 0:
-        raise FastaError(int(err[0]), int(err[1]), int(err[2]))
+        raise FastaError(
+            int(err[0]), int(err[1]), int(err[2]),
+            filepos[: int(err[3])].copy(),
+        )
     return (
         codes, seq_off[:n], seq_len[:n], hdr_off[:n], hdr_len[:n],
         hdr_lineno[:n], filepos[:n],
@@ -130,11 +133,14 @@ def fasta_scan(buf: bytes):
 
 
 class FastaError(Exception):
-    def __init__(self, code, lineno, char):
+    def __init__(self, code, lineno, char, filepos_done=None):
         super().__init__(code, lineno, char)
         self.code = code
         self.lineno = lineno
         self.char = char
+        # progress positions of the records completed before the error:
+        # the reference prints their milestones before fataling
+        self.filepos_done = filepos_done if filepos_done is not None else []
 
 
 def index_records(buf_arr, hdr_off, hdr_len, usearch, append_ab):

@@ -43,7 +43,9 @@ static inline int64_t emit_u64(uint64_t v, char *out) {
 /* fasta scan                                                          */
 /* ------------------------------------------------------------------ */
 
-/* error codes (err_info[0]); err_info[1] = line number, err_info[2] = char */
+/* error codes (err_info[0]); err_info[1] = line number, err_info[2] =
+ * char, err_info[3] = records completed before the error (fasta_scan:
+ * the caller replays their progress milestones before the fatal) */
 #define ERR_ILLEGAL_HEADER 1
 #define ERR_EMPTY_SEQUENCE 2
 #define ERR_ILLEGAL_CHAR 3
@@ -102,6 +104,7 @@ int64_t fasta_scan(const uint8_t *buf, int64_t buflen, uint8_t *codes,
     if (buf[pos] != '>') {
       err_info[0] = ERR_ILLEGAL_HEADER;
       err_info[1] = lineno;
+      err_info[3] = nrec;
       return -1;
     }
     if (nrec >= max_records)
@@ -120,6 +123,7 @@ int64_t fasta_scan(const uint8_t *buf, int64_t buflen, uint8_t *codes,
     if (hend - hstart > MAX_HEADER_LENGTH) {
       err_info[0] = ERR_HEADER_TOO_LONG;
       err_info[1] = lineno;
+      err_info[3] = nrec;
       return -1;
     }
     hdr_off[nrec] = hstart;
@@ -155,7 +159,8 @@ int64_t fasta_scan(const uint8_t *buf, int64_t buflen, uint8_t *codes,
         if (slen > MAX_SEQUENCE_LENGTH) {
           err_info[0] = ERR_SEQ_TOO_LONG;
           err_info[1] = lineno;
-          return -1;
+          err_info[3] = nrec;
+      return -1;
         }
       } else {
         for (int64_t i = pos; i < eol2; i++) {
@@ -169,14 +174,16 @@ int64_t fasta_scan(const uint8_t *buf, int64_t buflen, uint8_t *codes,
             err_info[0] = ERR_ILLEGAL_CHAR;
             err_info[1] = lineno;
             err_info[2] = c;
-            return -1;
+            err_info[3] = nrec;
+      return -1;
           }
           codes[codes_pos++] = (uint8_t)(t - 1);
           slen++;
           if (slen > MAX_SEQUENCE_LENGTH) {
             err_info[0] = ERR_SEQ_TOO_LONG;
             err_info[1] = lineno;
-            return -1;
+            err_info[3] = nrec;
+      return -1;
           }
         }
       }
@@ -188,6 +195,7 @@ int64_t fasta_scan(const uint8_t *buf, int64_t buflen, uint8_t *codes,
     if (slen == 0) {
       err_info[0] = ERR_EMPTY_SEQUENCE;
       err_info[1] = lineno; /* == (line_index + 1) - 1 in db.py terms */
+      err_info[3] = nrec;
       return -1;
     }
     seq_len[nrec] = slen;
@@ -235,8 +243,8 @@ static int find_swarm_ab(const uint8_t *h, int64_t hlen, int64_t *start,
   int64_t ndig = 0;
   for (int64_t i = pos + 1; i < hlen && is_digit(h[i]); i++)
     ndig++;
-  if (ndig > 20 || ndig != hlen - pos - 1 || ndig == 0)
-    return 0;
+  if (ndig > 20 || ndig != hlen - pos - 1)
+    return 0; /* zero digits matches: atol("") == 0 -> illegal-abundance fatal */
   *start = pos;
   *end = hlen;
   *number = parse_saturated(h + pos + 1, ndig);

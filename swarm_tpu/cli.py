@@ -486,7 +486,27 @@ def open_files(p: Parameters) -> None:
 
     def fopen_output(filename: str):
         if filename == "-":
-            return make_stdout()
+            # the reference dups stdout per '-' stream (fopen_output,
+            # src/utils/input_output.cc:46-60): each one gets an
+            # INDEPENDENT 4 KiB-buffered FILE* flushed only at fclose,
+            # while the log is flushed eagerly at progress marks — that
+            # buffering structure decides the byte ORDER on fd 1 when
+            # several streams share it (e.g. `-l -` with default -o).
+            # The resident server's stdout shim has no real fd; fall
+            # back to the shared wrapper there.
+            import io
+            import os
+
+            try:
+                sys.stdout.flush()
+                fd = os.dup(sys.stdout.fileno())
+            except (AttributeError, OSError, ValueError,
+                    io.UnsupportedOperation):
+                return make_stdout()
+            return io.TextIOWrapper(
+                io.BufferedWriter(io.FileIO(fd, "wb"), 4096),
+                encoding="latin-1", newline="",
+            )
         try:
             return open(filename, "w", newline="", encoding="latin-1")
         except OSError:

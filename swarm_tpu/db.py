@@ -148,10 +148,10 @@ def _find_swarm_abundance(header: bytes):
         return None
     if n_digits != len(digits):
         return None
-    number = int(digits) if n_digits > 0 else None
-    if number is None:
-        return None
-    number = min(number, INT64_MAX)  # atol saturates
+    # zero digits MATCHES with number 0 (the reference's strspn+atol
+    # accepts "" -> 0, src/db.cc:188-210, and the caller then fatals
+    # "Illegal abundance value" — even under -a)
+    number = min(int(digits), INT64_MAX) if n_digits > 0 else 0
     return pos, len(header), number
 
 
@@ -411,10 +411,11 @@ def db_read(p: Parameters, progress: Progress) -> Db:
                             ".",
                         )
                     else:
+                        # raw byte, not its decimal (src/db.cc:582-584)
                         fatal(
                             ERROR_PREFIX,
                             "Illegal character (ascii no ",
-                            character,
+                            chr(character),
                             ") in sequence on line ",
                             lineno,
                             ".",
@@ -494,12 +495,14 @@ def db_read(p: Parameters, progress: Progress) -> Db:
             )
         id_seen[identifier] = k
 
-        if seq_seen is not None and not has_seq_duplicates:
+        if seq_seen is not None:
             key = seq_chunks[k]
             if key in seq_seen:
+                # the reference breaks out immediately, without a
+                # progress update for this record (src/db.cc:785-789)
                 has_seq_duplicates = True
-            else:
-                seq_seen[key] = k
+                break
+            seq_seen[key] = k
 
         progress.update(k)
 
@@ -576,6 +579,13 @@ def _db_read_native(p: Parameters, progress: Progress, raw: bytes,
             _native.fasta_scan(raw)
         )
     except _native.FastaError as e:
+        # the reference prints a progress milestone after each COMPLETED
+        # record (progress_update(filepos), src/db.cc:634-636) before the
+        # fatal interrupts the phase
+        if is_regular and len(e.filepos_done):
+            from .progress import replay_values
+
+            replay_values(progress, e.filepos_done)
         if e.code == 1:
             fatal(ERROR_PREFIX, "Illegal header line in fasta file.")
         if e.code == 2:
@@ -587,9 +597,12 @@ def _db_read_native(p: Parameters, progress: Progress, raw: bytes,
                     "Illegal character '", chr(e.char),
                     "' in sequence on line ", e.lineno, ".",
                 )
+            # the reference streams the raw byte itself after "ascii no "
+            # (fatal(..., character, ...) with an unsigned char operand,
+            # src/db.cc:582-584)
             fatal(
                 ERROR_PREFIX,
-                "Illegal character (ascii no ", e.char,
+                "Illegal character (ascii no ", chr(e.char),
                 ") in sequence on line ", e.lineno, ".",
             )
         if e.code == 4:
@@ -654,7 +667,9 @@ def _db_read_native(p: Parameters, progress: Progress, raw: bytes,
     if p.opt_differences > 1:
         dup = _native.find_duplicate_seq(codes_all, seq_off, seq_len)
         if dup >= 0:
-            for j in range(dup + 1):
+            # the reference breaks BEFORE updating the duplicate's own
+            # record (src/db.cc:785-789), so only 0..dup-1 were updated
+            for j in range(dup):
                 progress.update(j)
             fatal(
                 ERROR_PREFIX,

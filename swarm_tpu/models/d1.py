@@ -64,12 +64,68 @@ def _memused() -> int:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
 
 
+def _ref_memused_model(db, n: int, swarmcount: int, network_links: int) -> int:
+    """Deterministic emulation of the reference's peak RSS at the
+    fastidious ceiling check (arch_get_memused, src/arch.cc:41-75,
+    consumed at src/algod1.cc:1359-1392).
+
+    This process's own RSS includes the Python/JAX runtime — hundreds
+    of MB before any clustering work — so comparing it against
+    --ceiling rejects ceilings the reference accepts. The reference's
+    envelope at the check is the sum of its d=1 allocations, all of
+    which are deterministic functions of the input (allocation sites:
+    src/db.cc:139-158 arena chunks, src/db.cc:677 seqinfo,
+    src/zobrist.cc:49-108 tables, src/algod1.cc:1104-1156 ampinfo/
+    swarminfo/global-hits/network, src/hashtable.cc:125-143,
+    src/bloompat.cc:100-114), plus a small process base (binary + libc
+    + startup, ~4 MB measured). ru_maxrss granularity and allocator
+    noise make the true value fuzzy at the ~1 MB level even across
+    reference runs, so only MB-scale behavior is reproducible — which
+    is exactly what the --ceiling interface exposes. One more Linux
+    subtlety: ru_maxrss survives execve, so a reference binary spawned
+    from a large process inherits the launcher's high-water mark; this
+    model reproduces the canonical shell-launched envelope (calibrated
+    against bash-launched fatal thresholds: 51-52 MB at 200k amplicons,
+    228-232 MB at 1M, both within 1 MB of the formula below)."""
+    MB = ONE_MEGABYTE
+    base = 5 * MB + MB // 2
+    # datainfo arena: header + NUL + 2-bit seq rounded to whole u64s,
+    # grown in 1 MiB chunks
+    hdr_bytes = sum(len(h) + 1 for h in db.headers)
+    seq_bytes = int((((db.lengths + 31) // 32) * 8).sum())
+    arena = -(-(hdr_bytes + seq_bytes) // MB) * MB
+    seqinfo = 64 * n  # sizeof(seqinfo_s) == 64
+    hdr_hash = 16 * n  # db_read's header-dup table, 2n pointers (db.cc:657)
+    longest = int(db.longest)
+    # zobrist base table 4 u64 per position + byte-combined 256 per
+    # 4-position group (sized for longest+1: insertions grow by one)
+    zlen = longest + 1
+    zobrist = 8 * 4 * zlen + 8 * 256 * ((zlen + 3) // 4)
+    ampinfo = 28 * n  # sizeof(ampinfo_s) == 28
+    sw_cap = 1024  # swarminfo_v starts at one kilobyte and doubles
+    while sw_cap < max(swarmcount, 1):
+        sw_cap *= 2
+    swarminfo = 40 * sw_cap  # sizeof(swarminfo_s) == 40
+    ht_size = 2  # smallest power of two >= 10(n+1)/7
+    while ht_size * 7 < 10 * (n + 1):
+        ht_size *= 2
+    # occupied bitmap + u64 values + u32 data (hash_alloc)
+    hashtable = ht_size // 8 + 8 * ht_size + 4 * ht_size
+    bloom = max(ht_size, 8)  # bloom_init(hashtablesize) bytes
+    # network_v: starts at 1 Mi elements, grows in 1 Mi-element steps
+    net_cap = max(1, -(-network_links // (1 << 20))) * (1 << 20)
+    network = 4 * net_cap
+    return (base + arena + seqinfo + hdr_hash + zobrist + ampinfo
+            + swarminfo + hashtable + bloom + network)
+
+
 class D1State:
     def __init__(self, n: int):
         self.swarmid = np.full(n, NO_SWARM, dtype=np.int64)
         self.parent = np.full(n, NO_SWARM, dtype=np.int64)
         self.generation = np.zeros(n, dtype=np.int64)
         self.graft_cand = np.full(n, NO_SWARM, dtype=np.int64)
+        self.network_links = 0
         # per swarm
         self.swarm_seed: List[int] = []
         self.swarm_members: List[List[int]] = []  # chain order
@@ -131,7 +187,10 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
         from ..progress import replay_range
 
         if dup >= 0:
-            replay_range(progress, dup)
+            # the reference updates progress for the duplicate's own
+            # record before breaking (src/algod1.cc:1133-1139:
+            # hash_insert(k); progress_update(k); if (dup) break)
+            replay_range(progress, dup + 1)
             fatal(ERROR_PREFIX, dup_msg)
         replay_range(progress, n)
     else:
@@ -139,10 +198,13 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
         seen = {}
         for k in range(n):
             key = codes_bytes[db.offsets[k] : db.offsets[k] + db.lengths[k]]
-            if key in seen:
-                fatal(ERROR_PREFIX, dup_msg)
+            dup_found = key in seen
             seen[key] = k
+            # reference order: insert, update, THEN break on duplicate
+            # (src/algod1.cc:1133-1139)
             progress.update(k)
+            if dup_found:
+                fatal(ERROR_PREFIX, dup_msg)
         del seen
     progress.done()
 
@@ -195,6 +257,7 @@ def algo_d1_run(p: Parameters, db: Db, progress: Progress) -> None:
 
     # --- clustering phase: generation-by-generation BFS ---
     st = D1State(n)
+    st.network_links = int(len(edges_to))  # for the --ceiling envelope model
     lengths = db.lengths
     largest = 0
     maxgen_all = 0
@@ -405,7 +468,11 @@ def _fastidious(p, db, progress, st, index, swarmcount, largest):
     bloom_length_in_bits = nt_small * 7 * bits
 
     memtotal = _memtotal()
-    memused = _memused()
+    # the reference compares ITS peak RSS to the ceiling; ours includes
+    # the Python/JAX runtime, so emulate the reference's envelope
+    memused = _ref_memused_model(
+        db, n, swarmcount, getattr(st, "network_links", 0)
+    )
 
     if p.opt_ceiling != 0:
         if p.opt_ceiling * ONE_MEGABYTE < memused:

@@ -49,8 +49,7 @@ def _unpack_pm1(tile_bytes):
     return (1 - 2 * bits.astype(jnp.int8)).reshape(T, PROFILE_BITS)
 
 
-@partial(jax.jit, static_argnames=("T", "n", "d"))
-def qgram_screen_words(prof_bytes, lengths, tis, tjs, valid, T, n, d):
+def _screen_words_body(prof_bytes, lengths, tis, tjs, valid, T, n, d):
     """Phase A of the all-pairs screen: survivor masks as packed words.
 
     The screen itself (unpack + [T,1024] x [1024,T] int8 matmul + the
@@ -100,8 +99,12 @@ def qgram_screen_words(prof_bytes, lengths, tis, tjs, valid, T, n, d):
     return words  # [K, T*T/32] uint32
 
 
-@partial(jax.jit, static_argnames=("T", "caps", "capw", "capc"))
-def extract_pairs(words, tis, tjs, T, caps, capw, capc):
+qgram_screen_words = jax.jit(
+    _screen_words_body, static_argnames=("T", "n", "d")
+)
+
+
+def _extract_pairs_body(words, tis, tjs, T, caps, capw, capc):
     """Phase B: one hierarchical compaction over every step's words.
 
     Three levels — 32-word supergroups, then words, then bits — so each
@@ -115,6 +118,9 @@ def extract_pairs(words, tis, tjs, T, caps, capw, capc):
     W = words.shape[1]  # T*T/32 words per step
     flat = words.reshape(-1)  # [K*W]
     G = 32
+    pad = (-flat.shape[0]) % G  # small shards (tiny tiles / few steps)
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, dtype=flat.dtype)])
     sflag = jnp.any((flat.reshape(-1, G) != 0), axis=1)
     n_s = jnp.sum(sflag, dtype=jnp.int32)
     (ssel,) = jnp.nonzero(sflag, size=caps, fill_value=0)
@@ -152,6 +158,60 @@ def extract_pairs(words, tis, tjs, T, caps, capw, capc):
     ga = jnp.where(cpicked, ga, -1)
     gb = jnp.where(cpicked, gb, -1)
     return ga, gb, n_s, n_w, n_c
+
+
+extract_pairs = jax.jit(
+    _extract_pairs_body, static_argnames=("T", "caps", "capw", "capc")
+)
+
+
+# per-(mesh, statics) cache of the compiled sharded screen+extract
+_SHARDED_PROGRAMS = {}
+
+
+def sharded_screen_extract(mesh, T, n, d, caps, capw, capc):
+    """shard_map program: tile-pair steps sharded over the mesh's first
+    axis, qgram profiles replicated (128 B/amplicon), per-device
+    hierarchical extraction. The reference parallelizes its qgram scan
+    over threads the same way — a static partition of the candidate
+    list (src/qgram.cc:293-335); here each device owns a contiguous
+    range of steps, so concatenating shard outputs preserves ascending
+    global step order (the determinism argument of SURVEY.md §3.5).
+
+    Returns a jitted fn(prof, lengths, tis, tjs, valid) ->
+    (ga [D, capc], gb [D, capc], counts [D, 3]).
+    """
+    key = (id(mesh), T, n, d, caps, capw, capc)
+    hit = _SHARDED_PROGRAMS.get(key)
+    if hit is not None:
+        return hit
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax: promoted out of experimental
+        from jax.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+
+    def local(prof, lengths, tis, tjs, valid):
+        words = _screen_words_body(prof, lengths, tis, tjs, valid, T, n, d)
+        ga, gb, n_s, n_w, n_c = _extract_pairs_body(
+            words, tis, tjs, T, caps, capw, capc
+        )
+        counts = jnp.stack([n_s, n_w, n_c])
+        return ga[None], gb[None], counts[None]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    compiled = jax.jit(fn)
+    _SHARDED_PROGRAMS[key] = compiled
+    return compiled
 
 
 # last successful extraction caps per (n_pad, d, schema) — avoids undersized
@@ -216,6 +276,7 @@ class D2NetworkEngine:
         self.db = db
         self.d = int(d)
         self.threads = max(int(threads), 1)
+        self.mesh = None  # set to a jax Mesh to shard the screen
         self.n = len(db)
         # tests shrink the tile to exercise the multi-tile scan cheaply
         self.TILE = int(os.environ.get("SWARM_TPU_D2_TILE", self.TILE))
@@ -308,6 +369,69 @@ class D2NetworkEngine:
             pb = np.zeros(0, dtype=np.int64)
         return pa, pb, total
 
+    def candidate_pairs_sharded(self, mesh):
+        """(pa, pb, n_screened) over a jax.sharding.Mesh: the tile-pair
+        step list is split contiguously across the mesh's first axis
+        (profiles replicated), each device screens and extracts its own
+        steps, and shard outputs concatenate in ascending global step
+        order — the same pair order candidate_pairs produces, so the
+        two paths are interchangeable downstream."""
+        T = self.TILE
+        n_tiles = self.n_pad // T
+        all_ti, all_tj = [], []
+        for i in range(n_tiles):
+            for j in range(i, n_tiles):
+                all_ti.append(i)
+                all_tj.append(j)
+        K = len(all_ti)
+        D = mesh.devices.size
+        K_pad = -(-K // D) * D
+        tis = np.zeros(K_pad, dtype=np.int32)
+        tjs = np.zeros(K_pad, dtype=np.int32)
+        valid = np.zeros(K_pad, dtype=bool)
+        tis[:K] = all_ti
+        tjs[:K] = all_tj
+        valid[:K] = True
+
+        key = (self.n_pad, self.d, 3)  # 3 = sharded schema
+        caps, capw, capc = _LAST_GOOD.get(key, (1 << 13, 1 << 14, 1 << 16))
+        while True:
+            fn = sharded_screen_extract(
+                mesh, T, self.n, self.d, caps, capw, capc
+            )
+            ga, gb, counts = fn(
+                self.prof_dev, self.len_dev,
+                jnp.asarray(tis), jnp.asarray(tjs), jnp.asarray(valid),
+            )
+            counts = np.asarray(counts)  # [D, 3]
+            if counts[:, 0].max() > caps:
+                caps = 1 << int(counts[:, 0].max() - 1).bit_length()
+                continue
+            if counts[:, 1].max() > capw:
+                capw = 1 << int(counts[:, 1].max() - 1).bit_length()
+                continue
+            if counts[:, 2].max() > capc:
+                capc = 1 << int(counts[:, 2].max() - 1).bit_length()
+                continue
+            break
+        if _LAST_GOOD.get(key) != (caps, capw, capc):
+            _LAST_GOOD[key] = (caps, capw, capc)
+            _save_good()
+        ga = np.asarray(ga)
+        gb = np.asarray(gb)
+        pa_parts, pb_parts = [], []
+        total = 0
+        for dev in range(ga.shape[0]):
+            n_c = int(counts[dev, 2])
+            if n_c:
+                pa_parts.append(ga[dev, :n_c].astype(np.int64))
+                pb_parts.append(gb[dev, :n_c].astype(np.int64))
+            total += n_c
+        if pa_parts:
+            return np.concatenate(pa_parts), np.concatenate(pb_parts), total
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+                total)
+
     def build_adjacency(self, mismatch, gapopen, gapextend, no_break):
         """Directed CSR adjacency (adj_start, adj_count, adj_to,
         adj_diff) of exact accepted edges, targets ascending, plus the
@@ -315,7 +439,10 @@ class D2NetworkEngine:
         from .. import _native
 
         db = self.db
-        pa, pb, n_screened = self.candidate_pairs()
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            pa, pb, n_screened = self.candidate_pairs_sharded(self.mesh)
+        else:
+            pa, pb, n_screened = self.candidate_pairs()
         if len(pa):
             # loud invariant: a decode bug (e.g. the round-4 int32
             # wrap) must fail here, not corrupt clusters downstream

@@ -164,6 +164,66 @@ def test_extract_pairs_high_step_no_int32_overflow():
     assert got == want
 
 
+def test_sharded_screen_matches_single_device():
+    """candidate_pairs_sharded over the 8-device virtual mesh produces
+    the same pairs, in the same order, as the single-device path."""
+    import jax
+    from jax.sharding import Mesh
+
+    os.environ.setdefault("SWARM_TPU_D2_TILE", "128")
+    from swarm_tpu.ops.d2_network import D2NetworkEngine
+
+    rng = np.random.default_rng(50)
+    seqs = []
+    for _ in range(40):
+        base = rng.integers(0, 4, size=64).astype(np.uint8)
+        for _ in range(16):
+            v = base.copy()
+            for _ in range(int(rng.integers(0, 4))):
+                v[rng.integers(0, len(v))] = rng.integers(0, 4)
+            seqs.append(v)
+    db = _db_from_seqs(seqs)
+    eng = D2NetworkEngine(db, 2)
+    pa1, pb1, tot1 = eng.candidate_pairs()
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("amps",))
+    pa2, pb2, tot2 = eng.candidate_pairs_sharded(mesh)
+    assert tot1 == tot2
+    assert np.array_equal(pa1, pa2)
+    assert np.array_equal(pb1, pb2)
+
+
+def test_sharded_engine_full_adjacency():
+    """The full sharded build_adjacency equals the single-device CSR."""
+    import jax
+    from jax.sharding import Mesh
+
+    os.environ.setdefault("SWARM_TPU_D2_TILE", "128")
+    from swarm_tpu.ops.d2_network import D2NetworkEngine
+
+    rng = np.random.default_rng(51)
+    seqs = []
+    for _ in range(20):
+        base = rng.integers(0, 4, size=50).astype(np.uint8)
+        for _ in range(14):
+            v = base.copy()
+            for _ in range(int(rng.integers(0, 3))):
+                v[rng.integers(0, len(v))] = rng.integers(0, 4)
+            seqs.append(v)
+    db = _db_from_seqs(seqs)
+    single = D2NetworkEngine(db, 2)
+    a1 = single.build_adjacency(4, 12, 4, False)
+
+    sharded = D2NetworkEngine(db, 2)
+    sharded.mesh = Mesh(np.array(jax.devices()[:8]), ("amps",))
+    a2 = sharded.build_adjacency(4, 12, 4, False)
+    for x, y in zip(a1, a2):
+        if isinstance(x, np.ndarray):
+            assert np.array_equal(x, y)
+        else:
+            assert x == y
+
+
 def test_qgram_join_matches_host_bound():
     """Device tile-pair survivors == host qgram+length screen."""
     os.environ.setdefault("SWARM_TPU_D2_TILE", "128")
