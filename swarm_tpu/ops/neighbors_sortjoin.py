@@ -360,28 +360,33 @@ def join_pairs(
     overflow_run > 0 / n_deep > cap_deep.
 
     TPU shape of the hot path:
-      * the sort moves 8 bytes per key, not 12 — the second sort word
-        packs (top bits of keys_lo << OB) | owner, so the owner rides
-        inside the key instead of as a third operand (a 1/3 traffic
-        cut on the dominant cost). Truncating keys_lo only ADDS
-        candidate pairs (same 64-bit keys stay equal), and the exact
-        dist-1 verifier rejects them; false negatives are impossible.
+      * the sort orders by keys_hi ALONE (num_keys=1) with the packed
+        (keys_lo prefix << OB) | owner word riding as a payload:
+        measured on v5e at 161M slots, a 1-key sort runs 1.9x faster
+        than a 2-key sort (0.34s vs 0.64s) and the payload operand is
+        free. Full-key equality moves into the flagged-element checks,
+        where the payload word is being gathered anyway for the owner.
       * invalid slots carry the all-ones sentinel in both words; a
         real key can never equal it because real owners are < 2^OB-1,
         so the sentinel-collision fallback of the 3-operand design is
         structurally unnecessary.
-      * sorted equal keys are CONTIGUOUS, so every flagged element
-        (eq1[i]: key equals the previous slot) IS a j=1 match — no key
-        gathers are needed for the dominant run-length-2 case, just
-        one owner gather at sel-1.
+      * equal-HI runs are contiguous, but equal FULL keys inside an hi
+        run need not be adjacent (e.g. lo-values K1 K2 K1), so flags
+        are hi-run based: an element is flagged iff its full key
+        equals the previous slot's (the dominant j=1 case — an
+        elementwise shifted compare, no gathers) OR it sits at depth
+        >= 2 of an hi run (it may have a full-key partner farther
+        back). Chance hi collisions are almost all isolated length-2
+        runs — full_eq false, depth < 2 — so they do NOT inflate the
+        flagged set (expected extra flags: M^2/2^33 * P(run >= 3),
+        ~1e5 at 1M amplicons).
       * runs longer than 2 are rare (hash collisions or dense
         microvariant clusters), so the j>=2 partner checks run on a
-        second, much smaller compaction (the "deep" subset: flagged
-        elements whose run extends 2+ back). Key equality j slots back
-        is the AND of the intervening eq1 bits — bool gathers, not
-        key-word gathers. At 1M amplicons this cuts the post-sort
-        phase from ~1.0s to ~0.4s (window gathers at cap_deep instead
-        of 9x2 uint32 gathers at cap).
+        second, much smaller compaction (the "deep" subset). Hi-key
+        equality j slots back is the AND of the intervening hi_eq1
+        bits — bool gathers, not key-word gathers — and the partner's
+        payload word (gathered for its owner) also carries the lo
+        prefix for the full-key check.
     """
     if cap_deep is None:
         cap_deep = cap
@@ -396,19 +401,25 @@ def join_pairs(
         k2 = owner.astype(jnp.uint32)
     keys_hi = jnp.where(invalid, sent, keys_hi)
     k2 = jnp.where(invalid, sent, k2)
-    s_hi, s_k2 = jax.lax.sort((keys_hi, k2), num_keys=2, is_stable=False)
+    s_hi, s_k2 = jax.lax.sort((keys_hi, k2), num_keys=1, is_stable=False)
 
     omask = jnp.uint32((1 << ob) - 1)
     val = s_k2 != sent  # invalid iff both words all-ones; hi can be FF
 
-    def key_eq(a_hi, a_k2, b_hi, b_k2):
-        if lb == 0:
-            return a_hi == b_hi
-        return (a_hi == b_hi) & ((a_k2 >> ob) == (b_k2 >> ob))
-
-    eq1 = key_eq(s_hi[1:], s_k2[1:], s_hi[:-1], s_k2[:-1])
-    eq1 = eq1 & val[1:] & val[:-1]
-    eq1 = jnp.concatenate([jnp.zeros(1, dtype=bool), eq1])
+    hi_eq1 = (s_hi[1:] == s_hi[:-1]) & val[1:] & val[:-1]
+    hi_eq1 = jnp.concatenate([jnp.zeros(1, dtype=bool), hi_eq1])
+    if lb > 0:
+        full_eq1 = hi_eq1 & jnp.concatenate(
+            [
+                jnp.zeros(1, dtype=bool),
+                (s_k2[1:] >> ob) == (s_k2[:-1] >> ob),
+            ]
+        )
+    else:
+        full_eq1 = hi_eq1
+    # depth >= 2 of an hi run: may hold a non-adjacent full-key partner
+    depth2 = hi_eq1 & jnp.concatenate([jnp.zeros(1, dtype=bool), hi_eq1[:-1]])
+    eq1 = full_eq1 | depth2
 
     n_flagged = jnp.sum(eq1, dtype=jnp.int32)
     # two-level compaction: flagged elements are sparse, so first select
@@ -433,43 +444,50 @@ def join_pairs(
     # valid selections are the prefix (nonzero returns ascending indices)
     picked = jnp.arange(cap, dtype=jnp.int32) < n_flagged
 
-    a_col = jnp.where(picked, (s_k2[sel] & omask).astype(jnp.int32), -1)
+    a_k2 = s_k2[sel]
+    a_col = jnp.where(picked, (a_k2 & omask).astype(jnp.int32), -1)
 
-    # j == 1: eq1[sel] already proves key equality with the previous
-    # slot (and its validity), so only the partner's owner is gathered.
-    # sel >= 1 structurally: eq1[0] is hardwired False.
+    # j == 1: a pair iff the full key equals the previous slot's
+    # (full_eq1 — flagged elements may instead be depth-2 hi-run
+    # members whose only match sits farther back). sel >= 1
+    # structurally: eq1[0] is hardwired False.
     b1_col = (s_k2[jnp.maximum(sel - 1, 0)] & omask).astype(jnp.int32)
-    ok1 = picked & (b1_col != a_col)
+    ok1 = picked & full_eq1[sel] & (b1_col != a_col)
     pl1 = jnp.where(ok1, jnp.minimum(a_col, b1_col), n)
     ph1 = jnp.where(ok1, jnp.maximum(a_col, b1_col), n)
 
-    # deep subset: flagged elements whose run extends at least 2 back
-    # (key[i] == key[i-2] iff eq1[i] & eq1[i-1])
-    deep_flag = picked & eq1[jnp.maximum(sel - 1, 0)] & (sel >= 1)
+    # deep subset: flagged elements whose HI run extends at least 2
+    # back (hi[i] == hi[i-2] iff hi_eq1[i] & hi_eq1[i-1]; hi_eq1[i]
+    # holds for every flagged element by construction)
+    deep_flag = picked & hi_eq1[jnp.maximum(sel - 1, 0)] & (sel >= 1)
     n_deep = jnp.sum(deep_flag, dtype=jnp.int32)
     (didx,) = jnp.nonzero(deep_flag, size=cap_deep, fill_value=0)
     dpicked = jnp.arange(cap_deep, dtype=jnp.int32) < n_deep
     dsel = jnp.minimum(sel[didx], M - 1)
     da_col = jnp.where(dpicked, a_col[didx], -1)
+    da_pref = a_k2[didx] >> ob if lb > 0 else None
 
-    # chain_j: key[dsel] == key[dsel - j], maintained as the AND of the
-    # intervening adjacent-equality bits (sorted order makes equal-key
+    # chain_j: hi[dsel] == hi[dsel - j], maintained as the AND of the
+    # intervening adjacent-equality bits (sorted order makes equal-hi
     # runs contiguous, so endpoint equality == all-intermediate
-    # equality). j=2 holds by construction of deep_flag.
+    # equality). j=2 holds by construction of deep_flag. The partner
+    # is a pair only if its payload's lo prefix also matches (full-key
+    # equality; the payload word is gathered for the owner anyway).
     chain = dpicked
     dpl_cols, dph_cols = [], []
     for j in range(2, window + 1):
         if j > 2:
-            chain = chain & eq1[jnp.clip(dsel - (j - 1), 0, M - 1)]
-        b_col = (s_k2[jnp.clip(dsel - j, 0, M - 1)] & omask).astype(
-            jnp.int32
-        )
+            chain = chain & hi_eq1[jnp.clip(dsel - (j - 1), 0, M - 1)]
+        b_k2 = s_k2[jnp.clip(dsel - j, 0, M - 1)]
+        b_col = (b_k2 & omask).astype(jnp.int32)
         ok = chain & (dsel >= j) & (b_col != da_col)
+        if lb > 0:
+            ok = ok & ((b_k2 >> ob) == da_pref)
         dpl_cols.append(jnp.where(ok, jnp.minimum(da_col, b_col), n))
         dph_cols.append(jnp.where(ok, jnp.maximum(da_col, b_col), n))
-    # an equal key window+1 back means the run is longer than the
+    # an equal hi key window+1 back means the run is longer than the
     # window can enumerate => escalate
-    over_chain = chain & eq1[jnp.clip(dsel - window, 0, M - 1)]
+    over_chain = chain & hi_eq1[jnp.clip(dsel - window, 0, M - 1)]
     over = jnp.sum(over_chain & (dsel >= window + 1), dtype=jnp.int32)
 
     parts_lo = [pl1]
