@@ -618,7 +618,16 @@ int64_t bfs_cluster(int64_t n, const int64_t *link_start,
         int32_t sub = frontier[f];
         int64_t st = link_start[sub];
         int64_t cnt = link_count[sub];
+        if (f + 1 < nf) {
+          /* the sid32 probes below are the walk's only random access;
+           * start the next frontier entry's CSR row early */
+          int32_t nxt = frontier[f + 1];
+          __builtin_prefetch(&link_start[nxt]);
+          __builtin_prefetch(&eto32[link_start[nxt]]);
+        }
         for (int64_t e = 0; e < cnt; e++) {
+          if (e + 4 < cnt)
+            __builtin_prefetch(&sid32[eto32[st + e + 4]]);
           int32_t tgt = eto32[st + e];
           if (sid32[tgt] < 0) {
             sid32[tgt] = sid;
@@ -1114,6 +1123,12 @@ int64_t write_swarms_plain(
       continue;
     for (int64_t m = bounds[s]; m < bounds[s + 1]; m++) {
       int64_t a = members[m];
+      if (m + 8 < bounds[s + 1]) {
+        /* members walk headers in cluster order — random arena
+         * access; cache misses dominate the emit cost */
+        int64_t a2 = members[m + 8];
+        __builtin_prefetch(hdr_arena + hdr_off[a2]);
+      }
       if (w + hdr_len[a] + 32 > out_cap)
         return -1;
       if (m > bounds[s])
@@ -1195,6 +1210,12 @@ int64_t write_stats_d1(
     if (attached[s])
       continue;
     int64_t a = seed[s];
+    if (s + 8 < nswarms) {
+      /* seeds land anywhere in the arena: prefetch ahead */
+      int64_t a2 = seed[s + 8];
+      __builtin_prefetch(hdr_arena + hdr_off[a2]);
+      __builtin_prefetch(&abundance[a2]);
+    }
     if (w + hdr_len[a] + 160 > out_cap)
       return -1;
     w += emit_u64((uint64_t)size[s], out + w);

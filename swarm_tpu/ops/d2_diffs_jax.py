@@ -178,6 +178,28 @@ class DeviceDiffEngine:
         B = -(-need // ge)
         return max(B, 1)
 
+    def _use_pallas(self, B):
+        """The Pallas kernel (ops/pallas_d2_diffs.py) serves TPU runs:
+        VMEM per 1024-task block is ~8*Lmax kB of codes + 16*(2B+1) kB
+        of band state, so it owns Lmax <= 1024; the XLA scan remains
+        the fallback (and the CPU-backend path, where Mosaic is
+        unavailable outside interpret mode)."""
+        import os
+
+        mode = os.environ.get("SWARM_TPU_D2_DIFFS_KERNEL", "auto")
+        if mode == "scan":
+            return False
+        if mode == "pallas":
+            return True
+        if self.Lmax > 1024 or B > 63:
+            return False
+        try:
+            from ..device import device_available, device_platform
+
+            return device_available() and device_platform() != "cpu"
+        except Exception:
+            return False
+
     def diffs_pairs(self, pa, pb, mismatch, go, ge, no_break):
         """(diff_ab, diff_ba) int64 arrays, -1 = skipped/rejected."""
         P = len(pa)
@@ -190,6 +212,7 @@ class DeviceDiffEngine:
         td = np.concatenate([pb[need_ab], pa[need_ba]])
         n_ab = int(need_ab.sum())
         out = np.empty(len(tq), dtype=np.int64)
+        use_pallas = self._use_pallas(B)
         # lane-count buckets bound compile shapes; 1M lanes of state
         # stay under ~600 MB of HBM at d=2 widths
         CHUNK = 1 << 20
@@ -207,11 +230,20 @@ class DeviceDiffEngine:
             dlen = jnp.take(self.len_dev, jnp.asarray(di))
             qlen = jnp.where(
                 jnp.arange(npad) < len(part_q), qlen, 0)
-            diffs = d2_diffs_program(
-                lanes_q, lanes_d, qlen, dlen,
-                B=B, Lmax=self.Lmax, mismatch=int(mismatch),
-                go=int(go), ge=int(ge), d=self.d,
-            )
+            if use_pallas:
+                from .pallas_d2_diffs import d2_diffs_pallas
+
+                diffs = d2_diffs_pallas(
+                    lanes_q, lanes_d, qlen, dlen,
+                    B=B, Lmax=self.Lmax, mismatch=int(mismatch),
+                    go=int(go), ge=int(ge), d=self.d,
+                )
+            else:
+                diffs = d2_diffs_program(
+                    lanes_q, lanes_d, qlen, dlen,
+                    B=B, Lmax=self.Lmax, mismatch=int(mismatch),
+                    go=int(go), ge=int(ge), d=self.d,
+                )
             out[c0:c0 + CHUNK] = np.asarray(
                 diffs[: len(part_q)]).astype(np.int64)
         diff_ab = np.full(P, -1, dtype=np.int64)
