@@ -133,6 +133,63 @@ def deletion_keys_device(
     return halves, valid
 
 
+# two independent odd multipliers; their mod-2^32 inverses reweight the
+# suffix terms after a deletion (r * rinv == 1 mod 2^32)
+_POLY_R = (0x9E3779B1, 0x85EBCA77)
+_POLY_RINV = tuple(pow(r, -1, 1 << 32) for r in _POLY_R)
+
+
+def deletion_keys_poly(padded: jnp.ndarray, lengths: jnp.ndarray):
+    """Polynomial-rolling-hash deletion keys — same contract as
+    deletion_keys_device, ~half the scan traffic.
+
+    h(x) = sum_q (s_q + 1) * r^q mod 2^32. Deleting position p shifts
+    the suffix weights down one power:
+
+        h(del_p(x)) = pre[p] + rinv * (tot - pre[p] - (s_p+1) r^p)
+
+    so each half needs ONE additive prefix scan (the Zobrist pair
+    needs two XOR scans plus a second shifted-table select per half —
+    measured 0.235s vs 0.122s for the full keygen at 1M amplicons).
+    Equal underlying strings hash equal by construction, so the join
+    loses no true pairs; mod-2^32 polynomial hashes have weak LOW bits,
+    but join_pairs compares hi on full-width equality (any extra
+    collisions only add flagged slots for the exact verifier) and takes
+    the SECOND half's strong TOP bits for the k2 prefix.
+    """
+    C, L = padded.shape
+    pos = jnp.arange(L, dtype=jnp.int32)
+    mask = pos[None, :] < lengths[:, None]
+    s = padded.astype(jnp.uint32) + jnp.uint32(1)
+
+    halves = []
+    for r, rinv in zip(_POLY_R, _POLY_RINV):
+        rp = np.empty(L, dtype=np.uint32)
+        acc = 1
+        for q in range(L):
+            rp[q] = acc
+            acc = (acc * r) & 0xFFFFFFFF
+        term = jnp.where(mask, s * jnp.asarray(rp)[None, :], jnp.uint32(0))
+        incl = jax.lax.associative_scan(jnp.add, term, axis=1)
+        tot = incl[:, -1:]
+        pre = jnp.concatenate(
+            [jnp.zeros_like(term[:, :1]), incl[:, :-1]], axis=1
+        )
+        dele = pre + jnp.uint32(rinv) * (tot - pre - term)
+        halves.append(jnp.concatenate([tot, dele], axis=1))  # [C, L+1]
+
+    run_start = jnp.concatenate(
+        [jnp.ones((C, 1), dtype=bool), padded[:, 1:] != padded[:, :-1]],
+        axis=1,
+    )
+    valid = jnp.concatenate([lengths[:, None] > 0, mask & run_start], axis=1)
+    return halves, valid
+
+
+def _d1_hash_mode() -> str:
+    return os.environ.get("SWARM_TPU_D1_HASH", "poly")
+
+
 @partial(jax.jit, static_argnames=("width",))
 def prepare_network(packed, lengths, zob, width):
     """(padded [n, W] u8, hi [M], lo [M], owner [M]) for the whole db.
@@ -151,10 +208,13 @@ def prepare_network(packed, lengths, zob, width):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "lcap", "cap", "cap2", "window", "cap_deep"),
+    static_argnames=(
+        "width", "lcap", "cap", "cap2", "window", "cap_deep", "capw",
+    ),
 )
 def network_pairs(
-    packed, lengths, zob, width, lcap, cap, cap2, window, cap_deep=None
+    packed, lengths, zob, width, lcap, cap, cap2, window, cap_deep=None,
+    capw=None,
 ):
     """Fused join WITHOUT verification: packed codes in, unique candidate
     pairs out, plus one status vector.
@@ -175,17 +235,23 @@ def network_pairs(
     and can never hold a valid deletion key.
     """
     padded = unpack2bit_device(packed, width)
-    (keys_hi, keys_lo), valid = deletion_keys_device(
-        padded[:, :lcap], lengths, zob
-    )
+    if _d1_hash_mode() == "zobrist":
+        (keys_hi, keys_lo), valid = deletion_keys_device(
+            padded[:, :lcap], lengths, zob
+        )
+    else:
+        (keys_hi, keys_lo), valid = deletion_keys_poly(
+            padded[:, :lcap], lengths
+        )
     n = padded.shape[0]
     owner = jnp.where(valid, jnp.arange(n, dtype=jnp.int32)[:, None], -1)
-    pa, pb, n_flagged, n_pairs, overflow_run, n_deep = join_pairs(
+    pa, pb, n_flagged, n_pairs, overflow_run, n_deep, n_words = join_pairs(
         keys_hi.reshape(-1), keys_lo.reshape(-1), owner.reshape(-1), n,
-        cap=cap, cap2=cap2, window=window, cap_deep=cap_deep,
+        cap=cap, cap2=cap2, window=window, cap_deep=cap_deep, capw=capw,
     )
     status = jnp.stack(
-        [n_flagged, n_pairs, overflow_run, jnp.zeros((), jnp.int32), n_deep]
+        [n_flagged, n_pairs, overflow_run, jnp.zeros((), jnp.int32),
+         n_deep, n_words]
     )
     return pa, pb, status
 
@@ -221,8 +287,8 @@ def verify_pairs_compact(packed, lengths, pa, pb, n, cap3):
     count. cap3 tracks the real pair population (persisted alongside
     the join params); retry with doubled cap3 when status[0] > cap3.
 
-    Returns (ga [cap3], gb [cap3], status int32[2]) where status[0] is
-    the number of unique verified pairs; ga/gb come back sorted by
+    Returns (gab [2, cap3], status int32[2]) where status[0] is the
+    number of unique verified pairs; gab[0]/gab[1] come back sorted by
     (a, b) with -1 filler.
     """
     ok = pa >= 0
@@ -251,7 +317,9 @@ def verify_pairs_compact(packed, lengths, pa, pb, n, cap3):
     ga = jnp.where(gpicked, s_a[jnp.minimum(gsel, s_a.shape[0] - 1)], -1)
     gb = jnp.where(gpicked, s_b[jnp.minimum(gsel, s_b.shape[0] - 1)], -1)
     status = jnp.stack([n_good, jnp.zeros((), jnp.int32)])
-    return ga, gb, status
+    # one [2, cap3] output: the pair lists come back over the relay in
+    # a single transfer instead of two
+    return jnp.stack([ga, gb]), status
 
 
 def _field_mask(k):
@@ -351,13 +419,17 @@ def join_pairs(
     cap2: int,
     window: int,
     cap_deep: int = None,
+    capw: int = None,
 ):
     """Unique candidate pairs (pa < pb) sharing a deletion key.
 
     Returns (pa [cap2], pb [cap2], n_flagged, n_pairs, overflow_run,
-    n_deep); filler slots hold -1. Retry with a bigger cap / cap2 /
-    window / cap_deep when n_flagged > cap / n_pairs > cap2 /
-    overflow_run > 0 / n_deep > cap_deep.
+    n_deep, n_words); filler slots hold -1. Retry with a bigger cap /
+    cap2 / window / cap_deep / capw when n_flagged > cap / n_pairs >
+    cap2 / overflow_run > 0 / n_deep > cap_deep / n_words > capw.
+    capw defaults to cap, which never overflows (every flagged word
+    holds >= 1 flagged slot, so n_words <= n_flagged); a tighter capw
+    shrinks the second-level compaction input 32*capw.
 
     TPU shape of the hot path:
       * the sort orders by keys_hi ALONE (num_keys=1) with the packed
@@ -390,6 +462,8 @@ def join_pairs(
     """
     if cap_deep is None:
         cap_deep = cap
+    if capw is None:
+        capw = cap
     M = keys_hi.shape[0]
     ob = max(int(n).bit_length(), 8)  # owner field bits; n < 2^ob - 1
     lb = max(32 - ob, 0)  # keys_lo bits that still discriminate
@@ -422,19 +496,21 @@ def join_pairs(
     eq1 = full_eq1 | depth2
 
     n_flagged = jnp.sum(eq1, dtype=jnp.int32)
-    # two-level compaction: flagged elements are sparse, so first select
-    # the 16-element words containing any flag, then expand only those
-    # words — far cheaper than one nonzero over M
-    W16 = 16
+    # two-level compaction: flagged elements are sparse AND clustered
+    # (they sit in key runs), so first select the 32-slot words
+    # containing any flag (a few hundred k of M/32 at 1M amplicons),
+    # then expand only those words — the nonzero inputs are M/32 and
+    # 32*capw instead of one M-sized pass
+    W16 = 32
     M16 = -(-M // W16) * W16
     af = jnp.concatenate(
         [eq1, jnp.zeros(M16 - M, dtype=bool)]
     ).reshape(-1, W16)
     wflag = jnp.any(af, axis=1)
     n_words = jnp.sum(wflag, dtype=jnp.int32)
-    (wsel,) = jnp.nonzero(wflag, size=cap, fill_value=0)
-    w_picked = jnp.arange(cap, dtype=jnp.int32) < n_words
-    bits = af[wsel] & w_picked[:, None]  # [cap, 16]
+    (wsel,) = jnp.nonzero(wflag, size=capw, fill_value=0)
+    w_picked = jnp.arange(capw, dtype=jnp.int32) < n_words
+    bits = af[wsel] & w_picked[:, None]  # [capw, 32]
     flat_idx = (
         wsel[:, None] * W16 + jnp.arange(W16, dtype=jnp.int32)[None, :]
     )
@@ -506,7 +582,7 @@ def join_pairs(
     picked2 = jnp.arange(cap2, dtype=jnp.int32) < n_pairs
     pa = jnp.where(picked2, plo[sel3], -1)
     pb = jnp.where(picked2, phi[sel3], -1)
-    return pa, pb, n_flagged, n_pairs, over, n_deep
+    return pa, pb, n_flagged, n_pairs, over, n_deep, n_words
 
 
 def verify_dist1(
@@ -575,6 +651,8 @@ def _load_good_params():
                 v = list(v)
                 if len(v) == 3:  # pre-round-4 format: no cap_deep/cap3
                     v = v + [max(v[0] >> 3, 1 << 13), max(v[1] >> 1, 1 << 13)]
+                if len(v) == 5:  # pre-round-5: no capw
+                    v = v + [max(v[0] >> 2, 1 << 13)]
                 _LAST_GOOD_PARAMS.setdefault(
                     tuple(int(x) for x in k.split(",")), tuple(v)
                 )
@@ -670,6 +748,7 @@ class SortJoinNeighborEngine:
         window = 8
         cap_deep = max(cap >> 3, 1 << 13)
         cap3 = max(cap2 >> 1, 1 << 13)
+        capw = max(cap >> 2, 1 << 13)
         cached = _LAST_GOOD_PARAMS.get(shape_key)
         if cached:
             cap, cap2, window = (
@@ -679,25 +758,27 @@ class SortJoinNeighborEngine:
             if len(cached) >= 5:
                 cap_deep = max(cap_deep, cached[3])
                 cap3 = max(cap3, cached[4])
-        return shape_key, cap, cap2, window, cap_deep, cap3
+            if len(cached) >= 6:
+                capw = max(capw, cached[5])
+        return shape_key, cap, cap2, window, cap_deep, cap3, capw
 
     def start(self) -> None:
         """Dispatch join + verify asynchronously at the cached params.
         build_network consumes the result; a later cap retry just
         discards the speculative programs."""
-        _, cap, cap2, window, cap_deep, cap3 = self._params()
+        _, cap, cap2, window, cap_deep, cap3, capw = self._params()
         packed, lengths = self._device_arrays()
         pa, pb, status = network_pairs(
             packed, lengths, self.zob, width=self.width,
             lcap=self.lcap, cap=cap, cap2=cap2, window=window,
-            cap_deep=cap_deep,
+            cap_deep=cap_deep, capw=capw,
         )
-        ga, gb, vstatus = verify_pairs_compact(
+        gab, vstatus = verify_pairs_compact(
             packed, lengths, pa, pb, n=self.n_pad, cap3=cap3
         )
         self._pending = (
-            (cap, cap2, window, cap_deep, cap3), pa, pb, ga, gb, vstatus,
-            status,
+            (cap, cap2, window, cap_deep, cap3, capw), pa, pb, gab,
+            vstatus, status,
         )
 
     def _device_arrays(self):
@@ -745,28 +826,28 @@ class SortJoinNeighborEngine:
         packed, lengths = self._device_arrays()
         t0 = _t("pack+H2D", t0)
 
-        shape_key, cap, cap2, window, cap_deep, cap3 = self._params()
+        shape_key, cap, cap2, window, cap_deep, cap3, capw = self._params()
         pending = self._pending
         self._pending = None
         while True:
-            params = (cap, cap2, window, cap_deep, cap3)
+            params = (cap, cap2, window, cap_deep, cap3, capw)
             if pending is not None and pending[0] == params:
                 # consume the start() dispatch (it ran on the device
                 # under the host's hashing phase)
-                _, pa, pb, ga, gb, vstatus, status = pending
+                _, pa, pb, gab, vstatus, status = pending
                 pending = None
             else:
                 pa, pb, status = network_pairs(
                     packed, lengths, self.zob, width=self.width,
                     lcap=self.lcap, cap=cap, cap2=cap2, window=window,
-                    cap_deep=cap_deep,
+                    cap_deep=cap_deep, capw=capw,
                 )
                 # dispatch the verifier BEFORE the status readback:
                 # both programs queue on the device back-to-back, so
                 # the host pays one sync instead of two; a cap retry
                 # (rare — params persist across runs) just discards
                 # the speculative work
-                ga, gb, vstatus = verify_pairs_compact(
+                gab, vstatus = verify_pairs_compact(
                     packed, lengths, pa, pb, n=self.n_pad, cap3=cap3
                 )
             stat = np.asarray(status)
@@ -774,6 +855,7 @@ class SortJoinNeighborEngine:
                 int(x) for x in stat[:4]
             )
             n_deep = int(stat[4]) if stat.shape[0] > 4 else 0
+            n_words = int(stat[5]) if stat.shape[0] > 5 else 0
             if sentinel_hits > 0:
                 raise SentinelCollision(
                     "a real deletion key equals the invalid-key sentinel"
@@ -781,6 +863,9 @@ class SortJoinNeighborEngine:
             if n_flagged > cap:
                 cap *= 2
                 cap2 = max(cap2, cap)
+                continue
+            if n_words > capw:
+                capw *= 2
                 continue
             if n_deep > cap_deep:
                 cap_deep *= 2
@@ -798,10 +883,10 @@ class SortJoinNeighborEngine:
                 if n_good <= cap3:
                     break
                 cap3 *= 2
-                ga, gb, vstatus = verify_pairs_compact(
+                gab, vstatus = verify_pairs_compact(
                     packed, lengths, pa, pb, n=self.n_pad, cap3=cap3
                 )
-            params = (cap, cap2, window, cap_deep, cap3)
+            params = (cap, cap2, window, cap_deep, cap3, capw)
             break
         t0 = _t("join program+status", t0)
         if _LAST_GOOD_PARAMS.get(shape_key) != params:
@@ -812,9 +897,11 @@ class SortJoinNeighborEngine:
 
         metrics.record(d1_join_comparisons=int(n_pairs))
 
-        # unique verified pairs, already canonically sorted on device
-        pa_np = np.asarray(ga)[:n_good].astype(np.int64)
-        pb_np = np.asarray(gb)[:n_good].astype(np.int64)
+        # unique verified pairs, already canonically sorted on device;
+        # one [2, cap3] transfer
+        gab_np = np.asarray(gab)
+        pa_np = gab_np[0, :n_good].astype(np.int64)
+        pb_np = gab_np[1, :n_good].astype(np.int64)
         t0 = _t("verify+D2H", t0)
 
         # both directions, abundance rule (ab[from] >= ab[to] unless
@@ -962,7 +1049,7 @@ class BucketedSortJoinEngine:
         cap2 = cap
         window = 8
         while True:
-            pa, pb, n_flagged, n_pairs, over, _n_deep = (
+            pa, pb, n_flagged, n_pairs, over, _n_deep, _n_words = (
                 network_pairs_bucketed(
                     packeds, lengthss, owners, self.zob,
                     widths=widths, lcaps=lcaps, n=n,
