@@ -210,11 +210,12 @@ def prepare_network(packed, lengths, zob, width):
     jax.jit,
     static_argnames=(
         "width", "lcap", "cap", "cap2", "window", "cap_deep", "capw",
+        "capf",
     ),
 )
 def network_pairs(
     packed, lengths, zob, width, lcap, cap, cap2, window, cap_deep=None,
-    capw=None,
+    capw=None, capf=None,
 ):
     """Fused join WITHOUT verification: packed codes in, unique candidate
     pairs out, plus one status vector.
@@ -245,13 +246,15 @@ def network_pairs(
         )
     n = padded.shape[0]
     owner = jnp.where(valid, jnp.arange(n, dtype=jnp.int32)[:, None], -1)
-    pa, pb, n_flagged, n_pairs, overflow_run, n_deep, n_words = join_pairs(
+    (pa, pb, n_flagged, n_pairs, overflow_run, n_deep, n_words,
+     n_sub) = join_pairs(
         keys_hi.reshape(-1), keys_lo.reshape(-1), owner.reshape(-1), n,
         cap=cap, cap2=cap2, window=window, cap_deep=cap_deep, capw=capw,
+        capf=capf,
     )
     status = jnp.stack(
         [n_flagged, n_pairs, overflow_run, jnp.zeros((), jnp.int32),
-         n_deep, n_words]
+         n_deep, n_words, n_sub]
     )
     return pa, pb, status
 
@@ -420,16 +423,17 @@ def join_pairs(
     window: int,
     cap_deep: int = None,
     capw: int = None,
+    capf: int = None,
 ):
     """Unique candidate pairs (pa < pb) sharing a deletion key.
 
     Returns (pa [cap2], pb [cap2], n_flagged, n_pairs, overflow_run,
-    n_deep, n_words); filler slots hold -1. Retry with a bigger cap /
-    cap2 / window / cap_deep / capw when n_flagged > cap / n_pairs >
-    cap2 / overflow_run > 0 / n_deep > cap_deep / n_words > capw.
-    capw defaults to cap, which never overflows (every flagged word
-    holds >= 1 flagged slot, so n_words <= n_flagged); a tighter capw
-    shrinks the second-level compaction input 32*capw.
+    n_deep, n_words, n_sub); filler slots hold -1. Retry with a bigger
+    cap / cap2 / window / cap_deep / capw / capf when n_flagged > cap /
+    n_pairs > cap2 / overflow_run > 0 / n_deep > cap_deep / n_words >
+    capw / n_sub > capf. capw and capf default to cap, which never
+    overflows (every occupied word/subword holds >= 1 flagged slot);
+    tighter values shrink the level inputs (see below).
 
     TPU shape of the hot path:
       * the sort orders by keys_hi ALONE (num_keys=1) with the packed
@@ -464,6 +468,8 @@ def join_pairs(
         cap_deep = cap
     if capw is None:
         capw = cap
+    if capf is None:
+        capf = cap
     M = keys_hi.shape[0]
     ob = max(int(n).bit_length(), 8)  # owner field bits; n < 2^ob - 1
     lb = max(32 - ob, 0)  # keys_lo bits that still discriminate
@@ -496,26 +502,35 @@ def join_pairs(
     eq1 = full_eq1 | depth2
 
     n_flagged = jnp.sum(eq1, dtype=jnp.int32)
-    # two-level compaction: flagged elements are sparse AND clustered
-    # (they sit in key runs), so first select the 32-slot words
-    # containing any flag (a few hundred k of M/32 at 1M amplicons),
-    # then expand only those words — the nonzero inputs are M/32 and
-    # 32*capw instead of one M-sized pass
-    W16 = 32
-    M16 = -(-M // W16) * W16
+    # three-level compaction (32-slot words -> 8-slot subwords ->
+    # flags): flagged slots are sparse but ISOLATED — sorted hash
+    # order spreads key groups uniformly, so ~n_flagged words are
+    # occupied and a single wide level cannot compress. Each nonzero's
+    # cost is ~linear in its input (measured ~9 ms/M slots), so the
+    # level inputs M/32, 4*capw, and 8*capf (~14M total at 1M
+    # amplicons) replace one M-sized pass.
+    W32 = 32
+    M32 = -(-M // W32) * W32
     af = jnp.concatenate(
-        [eq1, jnp.zeros(M16 - M, dtype=bool)]
-    ).reshape(-1, W16)
+        [eq1, jnp.zeros(M32 - M, dtype=bool)]
+    ).reshape(-1, W32)
     wflag = jnp.any(af, axis=1)
     n_words = jnp.sum(wflag, dtype=jnp.int32)
     (wsel,) = jnp.nonzero(wflag, size=capw, fill_value=0)
     w_picked = jnp.arange(capw, dtype=jnp.int32) < n_words
     bits = af[wsel] & w_picked[:, None]  # [capw, 32]
-    flat_idx = (
-        wsel[:, None] * W16 + jnp.arange(W16, dtype=jnp.int32)[None, :]
-    )
-    cand = jnp.where(bits, flat_idx, M16).reshape(-1)  # ascending order
-    (sel2,) = jnp.nonzero(cand < M16, size=cap, fill_value=0)
+
+    sub = bits.reshape(capw * 4, 8)
+    sflag = jnp.any(sub, axis=1)
+    n_sub = jnp.sum(sflag, dtype=jnp.int32)
+    (ssel,) = jnp.nonzero(sflag, size=capf, fill_value=0)
+    s_picked = jnp.arange(capf, dtype=jnp.int32) < n_sub
+    bits2 = sub[ssel] & s_picked[:, None]  # [capf, 8]
+    # base slot of the selected subword: word wsel[ssel//4], sub ssel%4
+    swbase = wsel[ssel // 4] * W32 + (ssel % 4) * 8
+    flat_idx = swbase[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
+    cand = jnp.where(bits2, flat_idx, M32).reshape(-1)  # ascending order
+    (sel2,) = jnp.nonzero(cand < M32, size=cap, fill_value=0)
     sel = jnp.minimum(cand[sel2], M - 1)
     # valid selections are the prefix (nonzero returns ascending indices)
     picked = jnp.arange(cap, dtype=jnp.int32) < n_flagged
@@ -582,7 +597,7 @@ def join_pairs(
     picked2 = jnp.arange(cap2, dtype=jnp.int32) < n_pairs
     pa = jnp.where(picked2, plo[sel3], -1)
     pb = jnp.where(picked2, phi[sel3], -1)
-    return pa, pb, n_flagged, n_pairs, over, n_deep, n_words
+    return pa, pb, n_flagged, n_pairs, over, n_deep, n_words, n_sub
 
 
 def verify_dist1(
@@ -651,8 +666,8 @@ def _load_good_params():
                 v = list(v)
                 if len(v) == 3:  # pre-round-4 format: no cap_deep/cap3
                     v = v + [max(v[0] >> 3, 1 << 13), max(v[1] >> 1, 1 << 13)]
-                if len(v) == 5:  # pre-round-5: no capw
-                    v = v + [max(v[0] >> 2, 1 << 13)]
+                while len(v) in (5, 6):  # pre-round-5: no capw/capf
+                    v = v + [max(v[0] * 5 // 8, 1 << 13)]
                 _LAST_GOOD_PARAMS.setdefault(
                     tuple(int(x) for x in k.split(",")), tuple(v)
                 )
@@ -748,7 +763,9 @@ class SortJoinNeighborEngine:
         window = 8
         cap_deep = max(cap >> 3, 1 << 13)
         cap3 = max(cap2 >> 1, 1 << 13)
-        capw = max(cap >> 2, 1 << 13)
+        # isolated flags: occupied words/subwords track the flag count
+        capw = max(cap * 5 // 8, 1 << 13)
+        capf = max(cap * 3 // 4, 1 << 13)
         cached = _LAST_GOOD_PARAMS.get(shape_key)
         if cached:
             cap, cap2, window = (
@@ -758,26 +775,27 @@ class SortJoinNeighborEngine:
             if len(cached) >= 5:
                 cap_deep = max(cap_deep, cached[3])
                 cap3 = max(cap3, cached[4])
-            if len(cached) >= 6:
+            if len(cached) >= 7:
                 capw = max(capw, cached[5])
-        return shape_key, cap, cap2, window, cap_deep, cap3, capw
+                capf = max(capf, cached[6])
+        return shape_key, cap, cap2, window, cap_deep, cap3, capw, capf
 
     def start(self) -> None:
         """Dispatch join + verify asynchronously at the cached params.
         build_network consumes the result; a later cap retry just
         discards the speculative programs."""
-        _, cap, cap2, window, cap_deep, cap3, capw = self._params()
+        _, cap, cap2, window, cap_deep, cap3, capw, capf = self._params()
         packed, lengths = self._device_arrays()
         pa, pb, status = network_pairs(
             packed, lengths, self.zob, width=self.width,
             lcap=self.lcap, cap=cap, cap2=cap2, window=window,
-            cap_deep=cap_deep, capw=capw,
+            cap_deep=cap_deep, capw=capw, capf=capf,
         )
         gab, vstatus = verify_pairs_compact(
             packed, lengths, pa, pb, n=self.n_pad, cap3=cap3
         )
         self._pending = (
-            (cap, cap2, window, cap_deep, cap3, capw), pa, pb, gab,
+            (cap, cap2, window, cap_deep, cap3, capw, capf), pa, pb, gab,
             vstatus, status,
         )
 
@@ -826,11 +844,12 @@ class SortJoinNeighborEngine:
         packed, lengths = self._device_arrays()
         t0 = _t("pack+H2D", t0)
 
-        shape_key, cap, cap2, window, cap_deep, cap3, capw = self._params()
+        (shape_key, cap, cap2, window, cap_deep, cap3, capw,
+         capf) = self._params()
         pending = self._pending
         self._pending = None
         while True:
-            params = (cap, cap2, window, cap_deep, cap3, capw)
+            params = (cap, cap2, window, cap_deep, cap3, capw, capf)
             if pending is not None and pending[0] == params:
                 # consume the start() dispatch (it ran on the device
                 # under the host's hashing phase)
@@ -840,7 +859,7 @@ class SortJoinNeighborEngine:
                 pa, pb, status = network_pairs(
                     packed, lengths, self.zob, width=self.width,
                     lcap=self.lcap, cap=cap, cap2=cap2, window=window,
-                    cap_deep=cap_deep, capw=capw,
+                    cap_deep=cap_deep, capw=capw, capf=capf,
                 )
                 # dispatch the verifier BEFORE the status readback:
                 # both programs queue on the device back-to-back, so
@@ -856,6 +875,7 @@ class SortJoinNeighborEngine:
             )
             n_deep = int(stat[4]) if stat.shape[0] > 4 else 0
             n_words = int(stat[5]) if stat.shape[0] > 5 else 0
+            n_sub = int(stat[6]) if stat.shape[0] > 6 else 0
             if sentinel_hits > 0:
                 raise SentinelCollision(
                     "a real deletion key equals the invalid-key sentinel"
@@ -866,6 +886,9 @@ class SortJoinNeighborEngine:
                 continue
             if n_words > capw:
                 capw *= 2
+                continue
+            if n_sub > capf:
+                capf *= 2
                 continue
             if n_deep > cap_deep:
                 cap_deep *= 2
@@ -886,7 +909,7 @@ class SortJoinNeighborEngine:
                 gab, vstatus = verify_pairs_compact(
                     packed, lengths, pa, pb, n=self.n_pad, cap3=cap3
                 )
-            params = (cap, cap2, window, cap_deep, cap3, capw)
+            params = (cap, cap2, window, cap_deep, cap3, capw, capf)
             break
         t0 = _t("join program+status", t0)
         if _LAST_GOOD_PARAMS.get(shape_key) != params:
@@ -1049,7 +1072,7 @@ class BucketedSortJoinEngine:
         cap2 = cap
         window = 8
         while True:
-            pa, pb, n_flagged, n_pairs, over, _n_deep, _n_words = (
+            pa, pb, n_flagged, n_pairs, over, _n_deep, _nw, _ns = (
                 network_pairs_bucketed(
                     packeds, lengthss, owners, self.zob,
                     widths=widths, lcaps=lcaps, n=n,

@@ -186,7 +186,7 @@ def _sharded_join_body(
         stage_own.reshape(D, cap_block), "amps", 0, 0, tiled=False
     ).reshape(-1)
 
-    pa, pb, n_flagged, n_pairs, over, _n_deep, _n_words = join_pairs(
+    pa, pb, n_flagged, n_pairs, over, _n_deep, _nw, _ns = join_pairs(
         r_hi, r_lo, r_own, n_total, cap=cap, cap2=cap2, window=window
     )
 
