@@ -626,8 +626,12 @@ int64_t bfs_cluster(int64_t n, const int64_t *link_start,
           __builtin_prefetch(&eto32[link_start[nxt]]);
         }
         for (int64_t e = 0; e < cnt; e++) {
-          if (e + 4 < cnt)
-            __builtin_prefetch(&sid32[eto32[st + e + 4]]);
+          if (e + 4 < cnt) {
+            int32_t t4 = eto32[st + e + 4];
+            __builtin_prefetch(&sid32[t4]);
+            __builtin_prefetch(&generation[t4], 1);
+            __builtin_prefetch(&parent[t4], 1);
+          }
           int32_t tgt = eto32[st + e];
           if (sid32[tgt] < 0) {
             sid32[tgt] = sid;
@@ -655,6 +659,10 @@ int64_t bfs_cluster(int64_t n, const int64_t *link_start,
       }
       for (int64_t hidx = 0; hidx < nh; hidx++) {
         int32_t tgt = hits[hidx];
+        if (hidx + 4 < nh) {
+          __builtin_prefetch(&abundance[hits[hidx + 4]]);
+          __builtin_prefetch(&lengths[hits[hidx + 4]]);
+        }
         members[mpos++] = tgt;
         mass += abundance[tgt];
         if (abundance[tgt] == 1)
@@ -1118,17 +1126,26 @@ int64_t write_swarms_plain(
     const int64_t *bounds, const uint8_t *attached, int64_t nswarms,
     char *out, int64_t out_cap) {
   int64_t w = 0;
+  int64_t nmembers = nswarms > 0 ? bounds[nswarms] : 0;
   for (int64_t s = 0; s < nswarms; s++) {
     if (attached[s])
       continue;
     for (int64_t m = bounds[s]; m < bounds[s + 1]; m++) {
       int64_t a = members[m];
-      if (m + 8 < bounds[s + 1]) {
-        /* members walk headers in cluster order — random arena
-         * access; cache misses dominate the emit cost */
-        int64_t a2 = members[m + 8];
-        __builtin_prefetch(hdr_arena + hdr_off[a2]);
+      /* members walk headers in cluster order — random access; the
+       * misses pipeline: index arrays 16 ahead, arena 4 ahead
+       * (prefetching past the swarm boundary is harmless: members is
+       * contiguous across swarms) */
+      if (m + 16 < nmembers) {
+        int64_t a16 = members[m + 16];
+        __builtin_prefetch(&hdr_off[a16]);
+        __builtin_prefetch(&hdr_len[a16]);
+        __builtin_prefetch(&ab_start[a16]);
+        __builtin_prefetch(&ab_end[a16]);
+        __builtin_prefetch(&abundance[a16]);
       }
+      if (m + 4 < nmembers)
+        __builtin_prefetch(hdr_arena + hdr_off[members[m + 4]]);
       if (w + hdr_len[a] + 32 > out_cap)
         return -1;
       if (m > bounds[s])
@@ -1210,12 +1227,19 @@ int64_t write_stats_d1(
     if (attached[s])
       continue;
     int64_t a = seed[s];
-    if (s + 8 < nswarms) {
-      /* seeds land anywhere in the arena: prefetch ahead */
-      int64_t a2 = seed[s + 8];
-      __builtin_prefetch(hdr_arena + hdr_off[a2]);
-      __builtin_prefetch(&abundance[a2]);
+    /* each line costs ~6 dependent cache misses (seed -> five index
+     * arrays -> arena); two-stage pipeline: index arrays 16 ahead,
+     * arena (which needs hdr_off loaded) 4 ahead */
+    if (s + 16 < nswarms) {
+      int64_t a16 = seed[s + 16];
+      __builtin_prefetch(&hdr_off[a16]);
+      __builtin_prefetch(&hdr_len[a16]);
+      __builtin_prefetch(&ab_start[a16]);
+      __builtin_prefetch(&ab_end[a16]);
+      __builtin_prefetch(&abundance[a16]);
     }
+    if (s + 4 < nswarms)
+      __builtin_prefetch(hdr_arena + hdr_off[seed[s + 4]]);
     if (w + hdr_len[a] + 160 > out_cap)
       return -1;
     w += emit_u64((uint64_t)size[s], out + w);
